@@ -1,0 +1,218 @@
+"""Chamfer distance between point clouds, with a fused Pallas TPU kernel.
+
+TPU-native replacement for the PyTorch3D CUDA ``chamfer_distance`` the
+reference calls in every loss/score (``utility/utils.py:204-217``).  The
+O(N*M) pairwise distance matrix (up to 30k x 30k = 3.6 GB in f32) is never
+materialized: the Pallas kernel tiles both clouds through VMEM and keeps
+running (min, argmin) accumulators per query point, using the MXU for the
+cross-term x·yᵀ.
+
+Semantics match PyTorch3D (batch_reduction=None, point_reduction="mean"):
+
+    cd(x, y) = mean_i min_j ||x_i - y_j||^2  +  mean_j min_i ||x_j - y_i||^2
+
+The gradient is exact and cheap: a custom VJP re-uses the saved argmin
+indices (standard chamfer gradient), so the backward pass is two gathers and
+two scatter-adds instead of a second O(N*M) sweep.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TN = 256  # query tile (lanes of the accumulator)
+_TM = 512  # reference tile
+
+
+def _nn_kernel(x_ref, y_ref, d_ref, i_ref):
+    """One (batch, query-tile, ref-tile) grid step of the running-min NN.
+
+    x_ref: (1, 3, TN) query coords, y_ref: (1, 3, TM) reference coords,
+    d_ref/i_ref: (1, TN) running best squared distance / index.
+    """
+    k = pl.program_id(2)
+    x = x_ref[0]  # (3, TN)
+    y = y_ref[0]  # (3, TM)
+    d_ref = d_ref.at[0]  # (1, TN) view of the (1, 1, TN) block
+    i_ref = i_ref.at[0]
+    x2 = jnp.sum(x * x, axis=0, keepdims=True)  # (1, TN)
+    y2 = jnp.sum(y * y, axis=0, keepdims=True)  # (1, TM)
+    # cross term on the MXU; layout (TM, TN) so the min-reduce runs over
+    # sublanes and the result lands in the output's (1, TN) lane layout
+    yx = jax.lax.dot_general(
+        y, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TM, TN)
+    dist = jnp.maximum(jnp.transpose(y2) + x2 - 2.0 * yx, 0.0)  # (TM, TN)
+    local_d = jnp.min(dist, axis=0, keepdims=True)  # (1, TN)
+    local_i = jnp.argmin(dist, axis=0).reshape(1, -1) + k * _TM
+
+    @pl.when(k == 0)
+    def _():
+        d_ref[:] = local_d
+        i_ref[:] = local_i.astype(jnp.int32)
+
+    @pl.when(k > 0)
+    def _():
+        better = local_d < d_ref[:]
+        d_ref[:] = jnp.where(better, local_d, d_ref[:])
+        i_ref[:] = jnp.where(better, local_i.astype(jnp.int32), i_ref[:])
+
+
+def _pad_to(x: jnp.ndarray, axis: int, mult: int, value: float) -> jnp.ndarray:
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _min_dists_pallas(
+    x: jnp.ndarray, y: jnp.ndarray, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B,N,3),(B,M,3) → per-query (B,N) min squared distance and argmin."""
+    b, n, _ = x.shape
+    m = y.shape[1]
+    # pad query tail with a far-away sentinel (sliced off below) and the
+    # reference tail with an even farther one so it never wins the min
+    xp = _pad_to(x.astype(jnp.float32), 1, _TN, 1e6)
+    yp = _pad_to(y.astype(jnp.float32), 1, _TM, 1e8)
+    xt = jnp.transpose(xp, (0, 2, 1))  # (B, 3, Np)
+    yt = jnp.transpose(yp, (0, 2, 1))  # (B, 3, Mp)
+    np_, mp_ = xt.shape[2], yt.shape[2]
+
+    grid = (b, np_ // _TN, mp_ // _TM)
+    d, i = pl.pallas_call(
+        _nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, _TN), lambda b_, i_, k_: (b_, 0, i_), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, _TM), lambda b_, i_, k_: (b_, 0, k_), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, _TN), lambda b_, i_, k_: (b_, 0, i_), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, _TN), lambda b_, i_, k_: (b_, 0, i_), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * np_ * mp_ * 3,
+            bytes_accessed=4 * b * 3 * (np_ + mp_) + 8 * b * np_,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xt, yt)
+    return d[:, 0, :n], jnp.clip(i[:, 0, :n], 0, m - 1)
+
+
+def _min_dists_xla(
+    x: jnp.ndarray, y: jnp.ndarray, chunk: int = 1024
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunked XLA reference implementation (CPU/GPU and verification)."""
+    n = x.shape[1]
+    xp = _pad_to(x, 1, chunk, 1e6)
+    nc = xp.shape[1] // chunk
+    xc = xp.reshape(x.shape[0], nc, chunk, 3)
+
+    def one_chunk(xi):  # (B, chunk, 3)
+        d = jnp.sum((xi[:, :, None, :] - y[:, None, :, :]) ** 2, axis=-1)
+        return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1)
+
+    d, i = jax.lax.map(one_chunk, jnp.moveaxis(xc, 1, 0))
+    d = jnp.moveaxis(d, 0, 1).reshape(x.shape[0], -1)[:, :n]
+    i = jnp.moveaxis(i, 0, 1).reshape(x.shape[0], -1)[:, :n]
+    return d, i.astype(jnp.int32)
+
+
+def _min_dists(x, y, use_pallas: bool | None = None):
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return _min_dists_pallas(x, y)
+    return _min_dists_xla(x, y)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray, use_pallas: bool | None = None):
+    """Symmetric Chamfer distance per batch element.
+
+    x: (B, N, 3), y: (B, M, 3) → (B,).
+    """
+    dx, _ = _min_dists(x, y, use_pallas)
+    dy, _ = _min_dists(y, x, use_pallas)
+    return jnp.mean(dx, axis=1) + jnp.mean(dy, axis=1)
+
+
+def _chamfer_fwd(x, y, use_pallas):
+    dx, ix = _min_dists(x, y, use_pallas)
+    dy, iy = _min_dists(y, x, use_pallas)
+    cd = jnp.mean(dx, axis=1) + jnp.mean(dy, axis=1)
+    return cd, (x, y, ix, iy)
+
+
+def _chamfer_bwd(use_pallas, res, g):
+    x, y, ix, iy = res
+    b, n, _ = x.shape
+    m = y.shape[1]
+    gx = (g / n)[:, None, None]
+    gy = (g / m)[:, None, None]
+
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    y_near = take(y, ix)  # (B, N, 3) nearest y for each x
+    x_near = take(x, iy)  # (B, M, 3) nearest x for each y
+
+    # term 1: mean_i ||x_i - y_{ix_i}||^2
+    diff1 = 2.0 * (x - y_near)
+    dx1 = gx * diff1
+    dy1 = -jax.vmap(lambda idx, val: jnp.zeros((m, 3), x.dtype).at[idx].add(val))(
+        ix, gx * diff1
+    )
+    # term 2: mean_j ||y_j - x_{iy_j}||^2
+    diff2 = 2.0 * (y - x_near)
+    dy2 = gy * diff2
+    dx2 = -jax.vmap(lambda idx, val: jnp.zeros((n, 3), x.dtype).at[idx].add(val))(
+        iy, gy * diff2
+    )
+    return dx1 + dx2, dy1 + dy2
+
+
+chamfer_distance.defvjp(_chamfer_fwd, _chamfer_bwd)
+
+
+def mesh_chamfer_distance(
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    gt_points: jnp.ndarray,
+    key: jax.Array,
+    num: int = 1000,
+    repeat: int = 3,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Chamfer distance between a mesh (sampled ``num`` points, averaged over
+    ``repeat`` independent samplings) and a ground-truth cloud.
+
+    Mirrors reference ``utility/utils.py:204-217``.
+    """
+    from active_3d_vision_and_touch_tpu.ops.sample import batch_sample
+
+    cds = []
+    for k in jax.random.split(key, repeat):
+        pred = batch_sample(verts, faces, k, num=num)
+        cds.append(chamfer_distance(pred, gt_points, use_pallas))
+    return jnp.mean(jnp.stack(cds), axis=0)

@@ -1,0 +1,148 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from active_3d_vision_and_touch_tpu.core import touch_chart
+from active_3d_vision_and_touch_tpu.core.camera import PinholeCamera
+from active_3d_vision_and_touch_tpu.ops import (
+    batch_sample,
+    bilinear_sample,
+    chamfer_distance,
+    mesh_chamfer_distance,
+    nerf_embedding,
+)
+from active_3d_vision_and_touch_tpu.ops.chamfer import (
+    _min_dists_pallas,
+    _min_dists_xla,
+)
+
+
+def _clouds(rng, b=2, n=300, m=450):
+    x = jnp.asarray(rng.normal(size=(b, n, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(b, m, 3)), jnp.float32)
+    return x, y
+
+
+def _brute_chamfer(x, y):
+    x, y = np.asarray(x), np.asarray(y)
+    d = ((x[:, :, None, :] - y[:, None, :, :]) ** 2).sum(-1)
+    return d.min(2).mean(1) + d.min(1).mean(1)
+
+
+def test_nerf_embedding_shape_and_values():
+    pts = jnp.array([[[0.1, -0.2, 0.3]]])
+    emb = nerf_embedding(pts)
+    assert emb.shape == (1, 1, 63)
+    # raw coords appended at the end
+    assert np.allclose(emb[0, 0, -3:], [0.1, -0.2, 0.3], atol=1e-6)
+    # first block is sin(pi * p)
+    assert np.allclose(emb[0, 0, :3], np.sin(np.pi * np.array([0.1, -0.2, 0.3])), atol=1e-6)
+
+
+def test_chamfer_matches_bruteforce(rng):
+    x, y = _clouds(rng)
+    cd = chamfer_distance(x, y)
+    assert np.allclose(cd, _brute_chamfer(x, y), rtol=1e-4)
+
+
+def test_chamfer_zero_for_identical(rng):
+    x, _ = _clouds(rng)
+    cd = chamfer_distance(x, x)
+    assert np.allclose(cd, 0.0, atol=1e-5)
+
+
+def test_chamfer_pallas_interpret_matches_xla(rng):
+    x, y = _clouds(rng, b=2, n=300, m=700)
+    d_ref, i_ref = _min_dists_xla(x, y)
+    d_pal, i_pal = _min_dists_pallas(x, y, interpret=True)
+    assert np.allclose(d_ref, d_pal, rtol=1e-4, atol=1e-5)
+    # indices can differ on exact ties; distances via indices must match
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    d_via_idx = ((x - take(y, i_pal)) ** 2).sum(-1)
+    assert np.allclose(d_ref, d_via_idx, rtol=1e-4, atol=1e-5)
+
+
+def test_chamfer_gradient_matches_autodiff(rng):
+    x, y = _clouds(rng, b=1, n=40, m=50)
+
+    def naive(x, y):
+        d = ((x[:, :, None, :] - y[:, None, :, :]) ** 2).sum(-1)
+        return (d.min(2).mean(1) + d.min(1).mean(1)).sum()
+
+    gx_ref, gy_ref = jax.grad(naive, argnums=(0, 1))(x, y)
+    gx, gy = jax.grad(lambda a, b: chamfer_distance(a, b).sum(), argnums=(0, 1))(x, y)
+    assert np.allclose(gx, gx_ref, rtol=1e-4, atol=1e-6)
+    assert np.allclose(gy, gy_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_batch_sample_on_chart(rng):
+    chart = touch_chart()
+    verts = jnp.asarray(chart.verts)[None].repeat(2, axis=0)
+    faces = jnp.asarray(chart.faces)
+    pts = batch_sample(verts, faces, jax.random.PRNGKey(0), num=2000)
+    assert pts.shape == (2, 2000, 3)
+    # all samples on the flat sheet: x == 0, y/z within extent
+    assert np.allclose(pts[..., 0], 0.0, atol=1e-6)
+    assert pts[..., 1:].min() >= -0.009 - 1e-6
+    assert pts[..., 1:].max() <= 0.009 + 1e-6
+    # area-weighted: both triangles of a quad sampled
+    assert pts[..., 1].std() > 1e-3
+
+
+def test_batch_sample_area_weighting():
+    # two triangles, one 100x larger: samples should land ~99% on it
+    verts = jnp.array(
+        [[[0, 0, 0], [1, 0, 0], [0, 1, 0], [10, 10, 0], [20, 10, 0], [10, 20, 0]]],
+        jnp.float32,
+    )
+    faces = jnp.array([[0, 1, 2], [3, 4, 5]])
+    pts = batch_sample(verts, faces, jax.random.PRNGKey(1), num=4000)
+    frac_big = float((pts[0, :, 0] > 5).mean())
+    assert frac_big > 0.95
+
+
+def test_mesh_chamfer_distance_runs(rng):
+    chart = touch_chart()
+    verts = jnp.asarray(chart.verts)[None]
+    faces = jnp.asarray(chart.faces)
+    gt = batch_sample(verts, faces, jax.random.PRNGKey(2), num=500)
+    cd = mesh_chamfer_distance(verts, faces, gt, jax.random.PRNGKey(3), num=500)
+    assert cd.shape == (1,)
+    assert float(cd[0]) < 1e-5  # same surface
+
+
+def test_bilinear_sample_values():
+    feat = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+    # align_corners: (-1,-1) -> pixel (0,0); (1,1) -> pixel (3,3)
+    grid = jnp.array([[[-1.0, -1.0], [1.0, 1.0], [0.0, 0.0]]])
+    out = bilinear_sample(feat, grid)
+    assert np.allclose(out[0, 0, 0], 0.0)
+    assert np.allclose(out[0, 1, 0], 15.0)
+    assert np.allclose(out[0, 2, 0], 7.5)  # center = mean of 5,6,9,10
+
+
+def test_bilinear_sample_out_of_bounds_zero():
+    feat = jnp.ones((1, 4, 4, 2))
+    grid = jnp.array([[[-3.0, 0.0], [0.0, 3.0]]])
+    out = bilinear_sample(feat, grid)
+    assert np.allclose(out, 0.0)
+
+
+@pytest.mark.parametrize("xp", ["np", "jnp"])
+def test_camera_projection_center(xp):
+    cam = PinholeCamera()
+    mod = np if xp == "np" else jnp
+    uvz = cam.project(mod.asarray([[0.0, 0.0, 0.0]]), xp=mod)
+    # the origin projects to the image center
+    assert np.allclose(np.asarray(uvz[0, :2]), [128.0, 128.0], atol=1e-3)
+    # depth equals the camera distance
+    assert np.allclose(np.asarray(uvz[0, 2]), np.sqrt(0.3**2 + 0.3**2), atol=1e-5)
+
+
+def test_camera_grid_in_range():
+    cam = PinholeCamera()
+    # points near the origin land inside the normalized grid
+    pts = np.random.default_rng(0).uniform(-0.1, 0.1, size=(1, 64, 3))
+    grid = cam.normalized_grid(pts)
+    assert np.abs(grid).max() < 1.0
