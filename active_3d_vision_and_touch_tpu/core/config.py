@@ -1,0 +1,164 @@
+"""Experiment configuration: typed dataclasses with a JSON round-trip.
+
+Replaces the reference's per-script argparse namespaces serialized to
+``config.json`` (``utility/utils.py:535-553``).  Every engine persists its
+config next to its checkpoints so frozen models can be rebuilt downstream
+with their exact training hyperparameters (the pattern the active
+environment relies on, ``policies/environment.py:107-140``).
+
+The four canonical experiment settings keep their reference names:
+``v_t_p`` / ``v_t_g`` (vision+touch, single-finger / 4-finger grasp) and
+``t_p`` / ``t_g`` (touch-only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+
+
+def setting_name(use_img: bool, finger: bool) -> str:
+    return ("v_t_" if use_img else "t_") + ("p" if finger else "g")
+
+
+def save_config(directory: str, config) -> str:
+    os.makedirs(directory, exist_ok=True)
+    payload = dataclasses.asdict(config)
+    payload["__class__"] = type(config).__name__
+    payload["check_point"] = os.path.abspath(directory)
+    path = os.path.join(directory, "config.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+    return path
+
+
+def load_config(directory: str, cls):
+    """Rebuild a config dataclass from ``<directory>/config.json``."""
+    with open(os.path.join(directory, "config.json")) as f:
+        payload = json.load(f)
+    payload.pop("__class__", None)
+    payload.pop("check_point", None)
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in payload.items() if k in names})
+
+
+@dataclass
+class BaseConfig:
+    exp_id: str = "test"
+    exp_type: str = "test"
+    seed: int = 0
+    lr: float = 3e-4
+    batch_size: int = 16
+    epochs: int = 1000
+    patience: int = 70
+    loss_coeff: float = 9000.0
+    limit_data: bool = False
+    eval: bool = False
+    pretrained: bool = False
+    experiments_root: str = "experiments"
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(
+            self.experiments_root, "checkpoint", self.exp_type, self.exp_id
+        )
+
+    @property
+    def results_dir(self) -> str:
+        return os.path.join("results", self.exp_type, self.exp_id)
+
+    @property
+    def tensorboard_dir(self) -> str:
+        return os.path.join(self.experiments_root, "tensorboard", self.exp_type)
+
+
+@dataclass
+class TouchConfig(BaseConfig):
+    """Touch-chart trainer defaults (reference ``touch/train.py:203-255``)."""
+
+    lr: float = 1e-4
+    batch_size: int = 64
+    num_samples: int = 4000  # CD sample count
+
+
+@dataclass
+class VisionConfig(BaseConfig):
+    """Vision deformation trainer defaults (``vision/train.py:287-405``)."""
+
+    use_img: bool = True
+    use_touch: bool = True
+    finger: bool = False
+    num_grasps: int = 5
+    num_actions: int = 50
+    number_points: int = 30000
+    val_grasps: int = -1
+    num_gcn_layers: int = 20
+    hidden_gcn_size: int = 300
+    cut: float = 0.33
+    num_cnn_blocks: int = 6
+    layers_per_block: int = 3
+    cnn_kernel: int = 5
+
+    @property
+    def num_fingers(self) -> int:
+        return 1 if self.finger else 4
+
+    @property
+    def setting(self) -> str:
+        return setting_name(self.use_img, self.finger)
+
+
+@dataclass
+class AutoencoderConfig(VisionConfig):
+    """Autoencoder trainer defaults (``autoencoder/train.py:349-452``)."""
+
+    encoding_size: int = 200
+    grid_size: int = 80
+    vision_location: str = ""
+
+
+@dataclass
+class PolicyConfig(VisionConfig):
+    """Active-policy defaults (shared across the 8 policy engines;
+    reference ``policies/*/train.py`` arg blocks)."""
+
+    env_batch_size: int = 3
+    budget: int = 5
+    num_grasps: int = 5
+    use_latent: bool = False
+    use_recon: bool = False
+    touch_location: str = ""
+    vision_location: str = ""
+    auto_location: str = ""
+    pretrained_recon: bool = True
+    greedy_checks: int = 50
+    # DDQN specifics (reference DDQN/train.py:400-527)
+    epsilon_start: float = 1.0
+    epsilon_decay: float = 0.9999
+    epsilon_end: float = 0.01
+    mem_capacity: int = 300
+    burn_in: int = 20
+    train_batch_size: int = 16
+    gamma: float = 0.0
+    target_update: int = 3000
+    normalization: str = "first"
+    hidden_dim: int = 300
+    layers: int = 5
+    normalize: bool = False
+    epochs: int = 1000
+    training_actions: int = 5  # probe actions per step (supervised policy)
+
+
+@dataclass
+class SimConfig:
+    """Host simulator parameters."""
+
+    max_depth: float = 0.025
+    touch_resolution: int = 121
+    vision_resolution: int = 256
+    object_colour: tuple = (228, 217, 111, 255)
+    num_fingers: int = 4
+    tacto: bool = False
+    workers: int = field(default_factory=lambda: min(8, os.cpu_count() or 1))

@@ -1,0 +1,243 @@
+"""Vision mesh deformation: image + touch charts → full surface mesh.
+
+The flagship reconstruction model.  A two-tower CNN pyramid encodes the RGB
+observation; chart vertices are projected into the image through the shared
+:class:`core.camera.PinholeCamera` and pool bilinear features from selected
+pyramid levels; positional (NeRF) and mask embeddings complete the vertex
+features; three GCN refinement stages deform the vision charts toward the
+object surface (touch charts stay fixed — they are measurements).
+
+Capability-parity with the reference Deformation network
+(``reconstruction/vision/model.py:27-439``), redesigned NHWC/flax-native
+with the camera matrix derived from the shared camera instead of hard-coded.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from active_3d_vision_and_touch_tpu.core.camera import PinholeCamera
+from active_3d_vision_and_touch_tpu.models.gcn import (
+    GCN,
+    MaskEncoder,
+    PositionalEncoder,
+)
+from active_3d_vision_and_touch_tpu.ops.grid_sample import bilinear_sample
+
+
+def encoder_plan(
+    num_blocks: int = 6,
+    layers_per_block: int = 3,
+    kernel: int = 5,
+    image_size: int = 256,
+):
+    """Static plan of the CNN pyramid: which layers run before the spatial
+    size drops below the kernel, and which produce pooled feature maps.
+
+    Returns (layer_specs, selected_ids, pooled_channels): layer_specs is a
+    list of (features, stride, simple); selected_ids the indices whose
+    outputs are pooled (3 intermediate + the final layer).
+    """
+    specs = [(3, 1, True)]
+    cur, nxt = 3, 16
+    for _ in range(num_blocks):
+        specs.append((nxt, 2, False))
+        cur = nxt
+        nxt *= 2
+        for _ in range(layers_per_block - 1):
+            specs.append((cur, 1, False))
+    total = len(specs)
+    selections = {total - 1 - (i + 1) * layers_per_block for i in range(3)}
+
+    run, selected, channels = [], [], []
+    size = image_size
+    for e, (feats, stride, simple) in enumerate(specs):
+        if size < kernel:
+            break
+        run.append((feats, stride, simple))
+        size = size // stride if stride > 1 else size
+        if e in selections:
+            selected.append(e)
+            channels.append(feats)
+    selected.append(len(run) - 1)
+    channels.append(run[-1][0])
+    return run, selected, channels
+
+
+class ImageEncoder(nn.Module):
+    """CNN pyramid over the 256x256 RGB image; returns the pooled maps."""
+
+    num_blocks: int = 6
+    layers_per_block: int = 3
+    kernel: int = 5
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
+        specs, selected, _ = encoder_plan(
+            self.num_blocks, self.layers_per_block, self.kernel, img.shape[1]
+        )
+        feats = []
+        x = img
+        for e, (features, stride, simple) in enumerate(specs):
+            if not simple:
+                x = nn.relu(nn.BatchNorm(use_running_average=not train)(x))
+            pad = (self.kernel - 1) // 2
+            x = nn.Conv(
+                features,
+                (self.kernel, self.kernel),
+                strides=(stride, stride),
+                padding=((pad, pad), (pad, pad)),
+            )(x)
+            if e in selected:
+                feats.append(x)
+        return feats
+
+
+def pool_image_features(
+    feature_maps: list[jnp.ndarray],
+    verts: jnp.ndarray,
+    camera: PinholeCamera,
+) -> jnp.ndarray:
+    """Project vertices through the camera and gather bilinear features from
+    every pyramid level (reference ``vision/model.py:70-103``)."""
+    grid = camera.normalized_grid(verts, xp=jnp)
+    pooled = [bilinear_sample(fmap, grid) for fmap in feature_maps]
+    return jnp.concatenate(pooled, axis=-1)
+
+
+class Deformation(nn.Module):
+    """Three-stage GCN chart deformation."""
+
+    use_img: bool = True
+    use_touch: bool = True
+    num_gcn_layers: int = 20
+    hidden_gcn_size: int = 300
+    cut: float = 0.33
+    num_cnn_blocks: int = 6
+    layers_per_block: int = 3
+    cnn_kernel: int = 5
+    camera: PinholeCamera = PinholeCamera()
+
+    @property
+    def feature_size(self) -> int:
+        if not self.use_img:
+            return 50
+        _, _, channels = encoder_plan(
+            self.num_cnn_blocks, self.layers_per_block, self.cnn_kernel
+        )
+        return sum(channels)
+
+    @nn.compact
+    def __call__(
+        self,
+        img: jnp.ndarray | None,
+        charts: dict,
+        adj: jnp.ndarray,
+        original_adj: jnp.ndarray,
+        train: bool = False,
+        img_features: tuple | None = None,
+    ):
+        """Returns (verts (B, V, 3), mask (B, V, 1)).
+
+        ``charts``: dict with vision_charts/vision_masks and (if use_touch)
+        touch_charts/touch_masks, see :func:`prepare_charts`.
+        """
+        fsize = self.feature_size
+        positional = PositionalEncoder(fsize)
+        mask_enc = MaskEncoder(fsize)
+        gcn_1 = GCN(self.num_gcn_layers, self.hidden_gcn_size, 3, self.cut)
+        gcn_2 = GCN(self.num_gcn_layers, self.hidden_gcn_size, 3, self.cut)
+
+        vc = charts["vision_charts"].shape[1]
+
+        if img_features is not None:
+            global_feats, local_feats = img_features
+        elif self.use_img:
+            global_feats = ImageEncoder(
+                self.num_cnn_blocks, self.layers_per_block, self.cnn_kernel
+            )(img, train=train)
+            local_feats = ImageEncoder(
+                self.num_cnn_blocks, self.layers_per_block, self.cnn_kernel
+            )(img, train=train)
+        else:
+            global_feats, local_feats = [], []
+
+        # ---- stage 1: touch-only starts fused; vision starts charts-only
+        if self.use_touch and not self.use_img:
+            vertices = jnp.concatenate(
+                [charts["vision_charts"], charts["touch_charts"]], axis=1
+            )
+            mask = jnp.concatenate(
+                [charts["vision_masks"], charts["touch_masks"]], axis=1
+            )
+            features = positional(vertices) + mask_enc(mask)
+            stage1_adj = adj
+        else:
+            vertices = charts["vision_charts"]
+            mask = charts["vision_masks"]
+            features = positional(vertices) + mask_enc(mask)
+            if self.use_img:
+                features = features + pool_image_features(
+                    global_feats, vertices, self.camera
+                )
+            # with image features, stage 1 deforms the vision atlas alone
+            stage1_adj = original_adj if self.use_img else adj
+        update = gcn_1(features, stage1_adj)
+        vertices = jnp.concatenate(
+            [vertices[:, :vc] + update[:, :vc], vertices[:, vc:]], axis=1
+        )
+
+        # ---- stage 2: append touch charts if not already present
+        if self.use_touch and self.use_img:
+            vertices = jnp.concatenate([vertices, charts["touch_charts"]], axis=1)
+            mask = jnp.concatenate(
+                [charts["vision_masks"], charts["touch_masks"]], axis=1
+            )
+        mask_features = mask_enc(mask)
+        features = positional(vertices) + mask_features
+        if self.use_img:
+            features = features + pool_image_features(
+                local_feats, vertices, self.camera
+            )
+        update = gcn_2(features, adj)
+        vertices = jnp.concatenate(
+            [vertices[:, :vc] + update[:, :vc], vertices[:, vc:]], axis=1
+        )
+
+        # ---- stage 3: same GCN (shared weights), refreshed features
+        features = positional(vertices) + mask_features
+        if self.use_img:
+            features = features + pool_image_features(
+                local_feats, vertices, self.camera
+            )
+        update = gcn_2(features, adj)
+        vertices = jnp.concatenate(
+            [vertices[:, :vc] + update[:, :vc], vertices[:, vc:]], axis=1
+        )
+        return vertices, mask
+
+
+def prepare_charts(
+    touch_charts: jnp.ndarray | None,
+    vision_mesh: jnp.ndarray,
+    batch_size: int,
+    use_touch: bool = True,
+) -> dict:
+    """Assemble the model-input chart dict (reference ``prepare_mesh``,
+    ``vision/model.py:418-439``).
+
+    ``touch_charts``: (B, ..., 25, 4) stacked [xyz | mask] slots from the
+    data pipeline; ``vision_mesh``: (Vv, 3) canonical atlas.  Vision verts
+    always carry mask code 3.
+    """
+    vision_charts = jnp.broadcast_to(
+        vision_mesh[None], (batch_size,) + vision_mesh.shape
+    )
+    vision_masks = 3.0 * jnp.ones(vision_charts.shape[:-1] + (1,), vision_mesh.dtype)
+    charts = {"vision_charts": vision_charts, "vision_masks": vision_masks}
+    if use_touch:
+        info = touch_charts.reshape(batch_size, -1, 4)
+        charts["touch_charts"] = info[..., :3]
+        charts["touch_masks"] = info[..., 3:]
+    return charts

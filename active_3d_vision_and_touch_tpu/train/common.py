@@ -1,0 +1,139 @@
+"""Shared experiment-engine facilities: checkpoints, early stop, metrics.
+
+Covers the reference's per-engine ops plumbing (best/recent dual
+checkpoints, patience early stop, TensorBoard scalars, config JSON;
+``reconstruction/vision/train.py:210-284``) with orbax-backed pytree
+checkpointing and a pluggable metrics writer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class EarlyStop:
+    """Patience-based early stopping on a minimized validation metric."""
+
+    def __init__(self, patience: int):
+        self.patience = patience
+        self.best = float("inf")
+        self.since_improvement = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True if ``value`` improved the best (→ checkpoint now)."""
+        if value <= self.best:
+            self.best = float(value)
+            self.since_improvement = 0
+            return True
+        self.since_improvement += 1
+        return False
+
+    @property
+    def should_stop(self) -> bool:
+        return self.since_improvement >= self.patience
+
+    def state(self) -> dict:
+        return {"best": self.best, "since_improvement": self.since_improvement}
+
+    def restore(self, state: dict) -> None:
+        self.best = state["best"]
+        self.since_improvement = state["since_improvement"]
+
+
+class CheckpointManager:
+    """Best + recent pytree checkpoints with a small JSON sidecar.
+
+    Layout: ``<dir>/best/`` and ``<dir>/recent/`` orbax pytrees plus
+    ``<dir>/state.json`` carrying epoch / early-stop counters.
+    """
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckpt = ocp.PyTreeCheckpointer()
+
+    def _slot(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, state, name: str = "recent", meta: dict | None = None) -> None:
+        state = jax.device_get(state)
+        self._ckpt.save(self._slot(name), state, force=True)
+        if meta is not None:
+            tmp = os.path.join(self.directory, "state.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(self.directory, "state.json"))
+
+    def restore(self, template, name: str = "recent"):
+        path = self._slot(name)
+        if not os.path.exists(path):
+            return None
+        return self._ckpt.restore(path, item=jax.device_get(template))
+
+    def meta(self) -> dict | None:
+        path = os.path.join(self.directory, "state.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def exists(self, name: str = "recent") -> bool:
+        return os.path.exists(self._slot(name))
+
+
+class MetricsWriter:
+    """TensorBoard scalars grouped by experiment id, with a JSONL mirror.
+
+    Falls back to JSONL-only when tensorboard is unavailable.
+    """
+
+    def __init__(self, log_dir: str, exp_id: str):
+        self.exp_id = exp_id
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, f"{exp_id}.metrics.jsonl"), "a")
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir)
+        except Exception:  # pragma: no cover - tensorboard optional
+            self._tb = None
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        value = float(np.asarray(value))
+        self._jsonl.write(
+            json.dumps({"tag": tag, "exp_id": self.exp_id, "value": value, "step": step})
+            + "\n"
+        )
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.add_scalars(tag, {self.exp_id: value}, step)
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+@dataclass
+class TrainState:
+    """Minimal mutable train state bundle (params + aux collections +
+    optimizer state).  Kept as a plain pytree so orbax/jit handle it."""
+
+    params: dict
+    batch_stats: dict
+    opt_state: tuple
+    step: int = 0
+
+    def tree(self):
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "step": self.step,
+        }

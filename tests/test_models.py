@@ -1,0 +1,122 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from active_3d_vision_and_touch_tpu.core import build_adj_info, touch_chart, vision_charts
+from active_3d_vision_and_touch_tpu.models import (
+    Deformation,
+    MeshAutoEncoder,
+    TouchChartEncoder,
+    prepare_charts,
+)
+from active_3d_vision_and_touch_tpu.models.gcn import GCN, GCNLayer
+from active_3d_vision_and_touch_tpu.models.vision import encoder_plan
+
+
+SMALL = dict(num_gcn_layers=3, hidden_gcn_size=32, num_cnn_blocks=6, layers_per_block=1)
+
+
+@pytest.fixture(scope="module")
+def adj_info():
+    return build_adj_info(vision_charts(), use_touch=True, num_fingers=4, num_grasps=2)
+
+
+def test_gcn_layer_cut_shapes():
+    layer = GCNLayer(out_features=30, cut=0.33, do_cut=True)
+    feats = jnp.ones((2, 10, 16))
+    adj = jnp.eye(10)[None].repeat(2, 0)[0]
+    params = layer.init(jax.random.PRNGKey(0), feats, adj)
+    out = layer.apply(params, feats, adj)
+    assert out.shape == (2, 10, 30)
+
+
+def test_gcn_stack_final_linear():
+    gcn = GCN(num_layers=3, hidden_size=16, out_size=3)
+    feats = jnp.ones((1, 8, 12))
+    adj = jnp.eye(8)
+    params = gcn.init(jax.random.PRNGKey(0), feats, adj)
+    out = gcn.apply(params, feats, adj)
+    assert out.shape == (1, 8, 3)
+
+
+def test_touch_encoder_end_to_end():
+    model = TouchChartEncoder()
+    chart = jnp.asarray(touch_chart().verts)
+    touch = jnp.zeros((2, 121, 121, 3))
+    pos = jnp.array([[0.1, 0.0, 0.0], [0.0, 0.2, 0.0]])
+    rot = jnp.stack([jnp.eye(3), jnp.eye(3)])
+    variables = model.init(jax.random.PRNGKey(0), touch, pos, rot, chart)
+    verts = model.apply(variables, touch, pos, rot, chart)
+    assert verts.shape == (2, 25, 3)
+    # rigid transform applied: chart center lands at ref position + offset
+    assert "batch_stats" in variables
+
+    # train mode updates batch stats
+    verts2, updates = model.apply(
+        variables, touch, pos, rot, chart, train=True, mutable=["batch_stats"]
+    )
+    assert verts2.shape == (2, 25, 3)
+    assert jax.tree_util.tree_structure(updates["batch_stats"]) is not None
+
+
+def test_encoder_plan_channels():
+    specs, selected, channels = encoder_plan(6, 3, 5, 256)
+    # final layer always selected; three intermediates
+    assert len(channels) == 4
+    assert channels == [64, 128, 256, 512]
+
+
+@pytest.mark.parametrize("use_img,use_touch", [(True, True), (False, True), (True, False)])
+def test_deformation_settings(adj_info, use_img, use_touch):
+    info = adj_info if use_touch else build_adj_info(vision_charts(), use_touch=False)
+    model = Deformation(use_img=use_img, use_touch=use_touch, **SMALL)
+    b = 2
+    mesh = jnp.asarray(vision_charts().verts)
+    tc = jnp.zeros((b, 8, 25, 4)) if use_touch else None
+    charts = prepare_charts(tc, mesh, b, use_touch=use_touch)
+    img = jnp.zeros((b, 256, 256, 3)) if use_img else None
+    adj = jnp.asarray(info.adj)
+    orig = jnp.asarray(info.original)
+    variables = model.init(jax.random.PRNGKey(0), img, charts, adj, orig)
+    verts, mask = model.apply(variables, img, charts, adj, orig)
+    assert verts.shape == (b, info.num_verts, 3)
+    assert mask.shape == (b, info.num_verts, 1)
+    # touch charts must be unchanged (measurements are never deformed)
+    if use_touch:
+        nv = info.num_vision_verts
+        assert np.allclose(verts[:, nv:], charts["touch_charts"], atol=1e-6)
+
+
+def test_autoencoder_roundtrip(adj_info):
+    model = MeshAutoEncoder(
+        encoding_size=16, num_gcn_layers=2, hidden_gcn_size=24, grid_size=8
+    )
+    b, v = 2, adj_info.num_verts
+    verts = jnp.zeros((b, v, 3))
+    mask = jnp.ones((b, v, 1))
+    adj = jnp.asarray(adj_info.adj)
+    variables = model.init(jax.random.PRNGKey(0), verts, mask, adj)
+    points, latent = model.apply(variables, verts, mask, adj)
+    assert latent.shape == (b, 16)
+    assert points.shape == (b, 64, 3)
+    only = model.apply(variables, verts, mask, adj, only_encode=True)
+    assert np.allclose(only, latent)
+
+
+def test_deformation_gradients_flow(adj_info):
+    model = Deformation(use_img=False, use_touch=True, **SMALL)
+    b = 1
+    mesh = jnp.asarray(vision_charts().verts)
+    charts = prepare_charts(jnp.zeros((b, 8, 25, 4)), mesh, b)
+    adj = jnp.asarray(adj_info.adj)
+    orig = jnp.asarray(adj_info.original)
+    variables = model.init(jax.random.PRNGKey(0), None, charts, adj, orig)
+
+    def loss_fn(params):
+        verts, _ = model.apply({"params": params}, None, charts, adj, orig)
+        return jnp.sum(verts**2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
