@@ -100,15 +100,16 @@ TOUCH_CHART_CENTER = 12
 
 @functools.lru_cache(maxsize=None)
 def touch_chart(extent: float = 0.009, n: int = 5) -> Mesh:
-    """The canonical touch chart: a flat (n x n) sheet in the sensor's
-    image plane (y-z plane, x = 0), centered on the origin.
+    """The canonical touch chart: a flat (n x n) sheet in the touch
+    sensor's image plane (x = right, y = down, normal = +z toward the
+    sensed surface), centered on the origin of the sensor frame.
 
     25 verts / 32 faces for the default n=5, matching the scale of the
     reference's touch chart sheet.
     """
     lin = np.linspace(-extent, extent, n, dtype=np.float64)
-    yy, zz = np.meshgrid(lin, lin, indexing="ij")
-    verts = np.stack([np.zeros_like(yy), yy, zz], axis=-1).reshape(-1, 3)
+    xx, yy = np.meshgrid(lin, lin, indexing="ij")
+    verts = np.stack([xx, yy, np.zeros_like(xx)], axis=-1).reshape(-1, 3)
     return Mesh(verts.astype(np.float32), _grid_faces(n))
 
 

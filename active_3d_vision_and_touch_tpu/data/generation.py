@@ -1,0 +1,311 @@
+"""Offline dataset generation.
+
+Produces the on-disk dataset the loaders and the active environment
+consume, mirroring the reference pipeline (``utility/data_making.py``) plus
+the touch-chart cache producer the reference *lacks* (its
+``touch_charts.npy`` files only ship inside the downloaded tar; SURVEY.md
+§L3 note):
+
+    object_info/<id>_verts.npy, <id>_faces.npy, <id>.obj
+    point_cloud_info/<id>.npy            30k surface points
+    images_colourful/<id>.npy            256x256x3 RGB
+    grasp_info/<id>/<grasp>/<finger>_touch.npy, _points.npy, _ref_frame.npy
+    touch_charts/<id>/touch_charts.npy   (50, 4, 25, 4) predicted charts
+    data_split.npy                       named splits dict
+
+Objects come from :mod:`data.primitives` (procedural) or from any OBJ
+collection through the same preprocessing.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from pathlib import Path
+
+import numpy as np
+from scipy import ndimage
+
+from active_3d_vision_and_touch_tpu.core.mesh import Mesh, save_obj
+from active_3d_vision_and_touch_tpu.data.primitives import random_object
+from active_3d_vision_and_touch_tpu.sim.collision import subdivide_to_density
+
+SPLIT_NAMES = ("recon_train", "auto_train", "RL_train", "valid", "test")
+
+
+# --------------------------------------------------------------------------
+# surface point-cloud extraction (voxelize → ODM space carve → surface)
+# reference: data_making.py:50-72 + utils.py:382-532, vectorized numpy
+# --------------------------------------------------------------------------
+def _first_last_occupied(occ: np.ndarray, axis: int):
+    """Per-pixel (min, max) occupied index along ``axis`` (dim where empty)."""
+    dim = occ.shape[axis]
+    idx = np.arange(dim)
+    shape = [1, 1, 1]
+    shape[axis] = dim
+    idx = idx.reshape(shape)
+    any_occ = occ.any(axis=axis)
+    lo = np.where(any_occ, np.where(occ, idx, dim).min(axis=axis), dim)
+    hi = np.where(any_occ, np.where(occ, idx, -1).max(axis=axis), -1)
+    return lo, hi, any_occ
+
+
+def carve_voxels(occ: np.ndarray) -> np.ndarray:
+    """Orthographic-depth-map space carving: keep only voxels inside the
+    visual hull defined by the 6 axis-aligned depth maps, fill interior."""
+    dim = occ.shape[0]
+    keep = np.ones_like(occ, bool)
+    for axis in range(3):
+        lo, hi, any_occ = _first_last_occupied(occ, axis)
+        shape = [1, 1, 1]
+        shape[axis] = dim
+        idx = np.arange(dim).reshape(shape)
+        lo_b = np.expand_dims(lo, axis)
+        hi_b = np.expand_dims(hi, axis)
+        keep &= (idx >= lo_b) & (idx <= hi_b)
+    keep = ndimage.binary_fill_holes(keep)
+    return keep
+
+
+def extract_surface_points(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    dim: int = 128,
+    num_points: int = 30000,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """(num_points, 3) uniform-ish surface cloud aligned to the mesh."""
+    rng = rng or np.random.default_rng(0)
+    verts = np.asarray(verts, np.float64)
+    vmin, vmax = verts.min(), verts.max()
+    unit = (verts - vmin) / (vmax - vmin) - 0.5
+
+    pts = subdivide_to_density(unit, np.asarray(faces), 1.0 / dim)
+    idx = np.clip(((pts + 0.5) * (dim - 1)).astype(int), 0, dim - 1)
+    occ = np.zeros((dim,) * 3, bool)
+    occ[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+
+    solid = carve_voxels(occ)
+    # surface voxels: occupied with at least one empty 26-neighbor
+    counts = ndimage.convolve(solid.astype(np.float32), np.ones((3, 3, 3)), mode="constant")
+    surface = solid & (counts < 27)
+    points = np.argwhere(surface).astype(np.float64)
+
+    # realign voxel indices to the original mesh extents (utils.py:522-532)
+    for i in range(3):
+        points[:, i] -= (points[:, i].max() + points[:, i].min()) / 2.0
+        v_range = verts[:, i].max() - verts[:, i].min()
+        p_range = points[:, i].max() + 1 - points[:, i].min()
+        points[:, i] *= v_range / p_range
+    points += (verts.max(0) + verts.min(0)) / 2.0
+
+    while points.shape[0] < num_points:
+        points = np.concatenate([points, points])
+    choice = rng.choice(points.shape[0], num_points, replace=False)
+    return points[choice].astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# dataset directory builders
+# --------------------------------------------------------------------------
+def object_dirs(root: str) -> dict:
+    return {
+        "object_info": os.path.join(root, "object_info"),
+        "point_cloud_info": os.path.join(root, "point_cloud_info"),
+        "images_colourful": os.path.join(root, "images_colourful"),
+        "grasp_info": os.path.join(root, "grasp_info"),
+        "touch_charts": os.path.join(root, "touch_charts"),
+    }
+
+
+def save_object_info(root: str, num_objects: int, seed: int = 0) -> list[str]:
+    """Generate procedural objects and store verts/faces/obj per object."""
+    dirs = object_dirs(root)
+    os.makedirs(dirs["object_info"], exist_ok=True)
+    names = []
+    for i in range(num_objects):
+        name = f"{i:06d}"
+        mesh = random_object(seed * 1_000_003 + i)
+        base = os.path.join(dirs["object_info"], name)
+        np.save(base + "_verts.npy", mesh.verts)
+        np.save(base + "_faces.npy", mesh.faces)
+        save_obj(base + ".obj", mesh.verts, mesh.faces)
+        names.append(name)
+    return names
+
+
+def save_point_info(root: str, dim: int = 128, num_points: int = 30000) -> None:
+    dirs = object_dirs(root)
+    os.makedirs(dirs["point_cloud_info"], exist_ok=True)
+    from glob import glob
+
+    for file in sorted(glob(os.path.join(dirs["object_info"], "*_verts.npy"))):
+        name = os.path.basename(file)[: -len("_verts.npy")]
+        dest = os.path.join(dirs["point_cloud_info"], name + ".npy")
+        if os.path.exists(dest):
+            continue
+        verts = np.load(file)
+        faces = np.load(file.replace("_verts", "_faces"))
+        pts = extract_surface_points(verts, faces, dim=dim, num_points=num_points)
+        np.save(dest, pts)
+
+
+def save_simulation(
+    root: str,
+    num_actions: int = 50,
+    batch_size: int = 8,
+    names: list[str] | None = None,
+) -> None:
+    """Run every grasp on every object, dumping touch signals, touch point
+    clouds, sensor frames, and one RGB image per object."""
+    from glob import glob
+
+    from active_3d_vision_and_touch_tpu.sim.sampler import Sampler
+
+    dirs = object_dirs(root)
+    os.makedirs(dirs["grasp_info"], exist_ok=True)
+    os.makedirs(dirs["images_colourful"], exist_ok=True)
+    if names is None:
+        names = sorted(
+            os.path.basename(f)[: -len("_verts.npy")]
+            for f in glob(os.path.join(dirs["object_info"], "*_verts.npy"))
+        )
+
+    for start in range(0, len(names), batch_size):
+        chunk = names[start : start + batch_size]
+        s = Sampler(bs=len(chunk), vision=True)
+        prefixes = [os.path.join(dirs["object_info"], n) for n in chunk]
+        s.load_objects(prefixes, from_dataset=True)
+
+        signals = s.sample([0] * len(chunk), touch=False, vision=True)
+        for n, img in zip(chunk, signals["vision"]):
+            np.save(os.path.join(dirs["images_colourful"], n + ".npy"), img)
+
+        for action in range(num_actions):
+            signals = s.sample([action] * len(chunk), touch=True, touch_point_cloud=True)
+            for b, n in enumerate(chunk):
+                for finger in range(4):
+                    dest = Path(dirs["grasp_info"]) / n / str(action)
+                    dest.mkdir(parents=True, exist_ok=True)
+                    status = signals["touch_status"][b][finger]
+                    if status == "touch":
+                        np.save(
+                            dest / f"{finger}_touch.npy",
+                            signals["touch_signal"][b][finger].astype(np.uint8),
+                        )
+                        np.save(
+                            dest / f"{finger}_points.npy",
+                            signals["touch_point_cloud"][b][finger],
+                        )
+                    if status != "no_intersection":
+                        ref = {
+                            "pos": signals["finger_transform_pos"][b][finger],
+                            "rot": signals["finger_transform_rot_M"][b][finger],
+                        }
+                        np.save(dest / f"{finger}_ref_frame.npy", ref)
+        s.disconnect()
+
+
+def make_data_split(
+    root: str,
+    train: int | None = None,
+    valid: int | None = None,
+    test: int | None = None,
+) -> dict:
+    """Named splits over the generated objects (reference sizes 7700x3 /
+    2000 / 1000 scale down proportionally for small runs)."""
+    from glob import glob
+
+    dirs = object_dirs(root)
+    names = sorted(
+        os.path.basename(f)[: -len("_verts.npy")]
+        for f in glob(os.path.join(dirs["object_info"], "*_verts.npy"))
+    )
+    random.Random(0).shuffle(names)
+    n = len(names)
+    if train is None:
+        train = max(1, int(n * 0.28))
+    if valid is None:
+        valid = max(1, int(n * 0.08))
+    if test is None:
+        test = max(1, n - 3 * train - valid)
+    splits = {
+        "recon_train": names[:train],
+        "auto_train": names[train : 2 * train],
+        "RL_train": names[2 * train : 3 * train],
+        "valid": names[3 * train : 3 * train + valid],
+        "test": names[3 * train + valid : 3 * train + valid + test],
+    }
+    np.save(os.path.join(root, "data_split.npy"), splits)
+    return splits
+
+
+def make_touch_charts(
+    root: str, touch_engine, touch_state, batch: int = 128, num_actions: int = 50
+) -> None:
+    """Cache predicted touch charts for every (object, grasp, finger) slot:
+    (50, 4, 25, 4) = chart xyz + mask channel.  Mask codes follow the
+    environment convention: 0 failed grasp, 1 grasp-without-touch (chart
+    collapsed to the sensor position), 2 successful touch.
+
+    This is the producer for the files the reference only ships pre-built
+    (``data_loaders.py:216-218``).
+    """
+    import jax
+    from glob import glob
+
+    dirs = object_dirs(root)
+    os.makedirs(dirs["touch_charts"], exist_ok=True)
+    predict = jax.jit(
+        lambda touch, pos, rot: touch_engine.predict(touch_state, touch, pos, rot)
+    )
+
+    grasp_dirs = sorted(glob(os.path.join(dirs["grasp_info"], "*")))
+    for obj_dir in grasp_dirs:
+        name = os.path.basename(obj_dir)
+        dest_dir = os.path.join(dirs["touch_charts"], name)
+        dest = os.path.join(dest_dir, "touch_charts.npy")
+        if os.path.exists(dest):
+            continue
+        charts = np.zeros((num_actions, 4, 25, 4), np.float32)
+        pending = []  # (grasp, finger, touch_img, pos, rot)
+        for grasp in range(num_actions):
+            gdir = os.path.join(obj_dir, str(grasp))
+            for finger in range(4):
+                ref_file = os.path.join(gdir, f"{finger}_ref_frame.npy")
+                touch_file = os.path.join(gdir, f"{finger}_touch.npy")
+                if not os.path.exists(ref_file):
+                    continue  # failed grasp: mask 0, zeros
+                ref = np.load(ref_file, allow_pickle=True).item()
+                if os.path.exists(touch_file):
+                    img = np.load(touch_file).astype(np.float32) / 255.0
+                    pending.append((grasp, finger, img, ref["pos"], ref["rot"]))
+                else:  # grasp but no touch: chart collapses to sensor origin
+                    charts[grasp, finger, :, :3] = ref["pos"]
+                    charts[grasp, finger, :, 3] = 1.0
+        for i in range(0, len(pending), batch):
+            chunk = pending[i : i + batch]
+            touch = np.stack([c[2] for c in chunk])
+            pos = np.stack([c[3] for c in chunk])
+            rot = np.stack([c[4] for c in chunk])
+            verts = np.asarray(predict(touch, pos, rot))
+            for (grasp, finger, *_), v in zip(chunk, verts):
+                charts[grasp, finger, :, :3] = v
+                charts[grasp, finger, :, 3] = 2.0
+        os.makedirs(dest_dir, exist_ok=True)
+        np.save(dest, charts)
+
+
+def generate_dataset(
+    root: str,
+    num_objects: int,
+    seed: int = 0,
+    num_actions: int = 50,
+    point_dim: int = 128,
+    num_points: int = 30000,
+) -> dict:
+    """One-call pipeline: objects → point clouds → simulation → split."""
+    names = save_object_info(root, num_objects, seed)
+    save_point_info(root, dim=point_dim, num_points=num_points)
+    save_simulation(root, num_actions=num_actions, names=names)
+    return make_data_split(root)

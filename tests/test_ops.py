@@ -83,11 +83,11 @@ def test_batch_sample_on_chart(rng):
     pts = batch_sample(verts, faces, jax.random.PRNGKey(0), num=2000)
     assert pts.shape == (2, 2000, 3)
     # all samples on the flat sheet: x == 0, y/z within extent
-    assert np.allclose(pts[..., 0], 0.0, atol=1e-6)
-    assert pts[..., 1:].min() >= -0.009 - 1e-6
-    assert pts[..., 1:].max() <= 0.009 + 1e-6
+    assert np.allclose(pts[..., 2], 0.0, atol=1e-6)
+    assert pts[..., :2].min() >= -0.009 - 1e-6
+    assert pts[..., :2].max() <= 0.009 + 1e-6
     # area-weighted: both triangles of a quad sampled
-    assert pts[..., 1].std() > 1e-3
+    assert pts[..., 0].std() > 1e-3
 
 
 def test_batch_sample_area_weighting():
