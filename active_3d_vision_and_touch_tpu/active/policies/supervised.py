@@ -1,0 +1,159 @@
+"""Supervised value-regression policy.
+
+One value network per budget step, trained sequentially: roll to the step
+with the already-trained models (argmin of predicted values, previously
+chosen actions pinned to +inf), then regress the values of random probe
+actions onto the observed score improvements measured with
+``env.check_step`` (reference ``policies/supervised/train.py:103-210``).
+Requires use_latent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from active_3d_vision_and_touch_tpu.active.policies.base import PolicyEngine
+from active_3d_vision_and_touch_tpu.active.policies.rollout import run_rollouts
+from active_3d_vision_and_touch_tpu.models.policy_nets import LatentValueNet
+from active_3d_vision_and_touch_tpu.train.common import CheckpointManager
+
+
+class SupervisedEngine(PolicyEngine):
+    name = "supervised"
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        c = self.config
+        assert c.use_latent, "supervised policy requires latent observations"
+        if c.normalize:
+            squash = "normalize"
+        elif c.use_img:
+            squash = "img"
+        else:
+            squash = "wide"
+        latent = int(np.asarray(self._latent_size()))
+        self.model = LatentValueNet(
+            num_actions=c.num_actions,
+            latent_size=latent,
+            hidden_dim=c.hidden_dim,
+            layers=c.layers,
+            squash=squash,
+        )
+        self.tx = optax.adam(c.lr)
+        key = jax.random.PRNGKey(c.seed)
+        dummy = (
+            jnp.zeros((1, c.num_actions)),
+            jnp.zeros((1, latent)),
+            jnp.zeros((1, latent)),
+        )
+        self.params = [
+            self.model.init(jax.random.fold_in(key, i), *dummy)["params"]
+            for i in range(c.budget)
+        ]
+        self.opt_states = [self.tx.init(p) for p in self.params]
+        self._apply = jax.jit(
+            lambda p, mask, lat, first: self.model.apply({"params": p}, mask, lat, first)
+        )
+        self._grad = jax.jit(jax.value_and_grad(self._loss))
+        self.ckpt = CheckpointManager(self.config.checkpoint_dir)
+        restored = self.ckpt.restore(self.params, "recent")
+        if restored is not None:
+            self.params = restored
+
+    def _latent_size(self) -> int:
+        if self.env.auto_model is not None:
+            return self.env.auto_model.encoding_size
+        return 200
+
+    def _values(self, step: int, obs, prev_actions: list[np.ndarray]) -> np.ndarray:
+        v = np.array(
+            self._apply(
+                self.params[step],
+                jnp.asarray(obs["mask"]),
+                jnp.asarray(obs["latent"]),
+                jnp.asarray(obs["first_latent"]),
+            )
+        )
+        for acts in prev_actions:
+            for e, a in enumerate(acts):
+                v[e, int(a)] = 1e10  # never repeat an action
+        return v
+
+    def _loss(self, params, mask, latent, first_latent, probe_actions, target):
+        values = self.model.apply({"params": params}, mask, latent, first_latent)
+        picked = jnp.take_along_axis(values, probe_actions, axis=1)
+        return jnp.mean((target - picked) ** 2)
+
+    def train_step_level(
+        self, step: int, max_batches: int | None = None, probes: int | None = None
+    ) -> float:
+        """Train the value model for one budget step over the train set."""
+        c = self.config
+        probes = probes or c.training_actions
+        rng = np.random.default_rng(c.seed + step)
+        losses = []
+        for v, batch in enumerate(self.loader("RL_train")):
+            if max_batches is not None and v >= max_batches:
+                break
+            obs = self.env.reset(batch)
+            prev_actions: list[np.ndarray] = []
+            for i in range(step):
+                acts = np.argmin(self._values(i, obs, prev_actions), axis=1)
+                obs, _, _ = self.env.step(acts)
+                prev_actions.append(acts)
+
+            probe = rng.integers(c.num_actions, size=(c.env_batch_size, probes))
+            targets = np.zeros((c.env_batch_size, probes), np.float32)
+            for j in range(probes):
+                t = self.env.check_step(probe[:, j])
+                if c.normalize:
+                    targets[:, j] = (t["first_score"] - t["score"]) / t["first_score"]
+                else:
+                    targets[:, j] = t["first_score"] - t["score"]
+
+            loss, grads = self._grad(
+                self.params[step],
+                jnp.asarray(obs["mask"]),
+                jnp.asarray(obs["latent"]),
+                jnp.asarray(obs["first_latent"]),
+                jnp.asarray(probe),
+                jnp.asarray(targets),
+            )
+            updates, self.opt_states[step] = self.tx.update(
+                grads, self.opt_states[step], self.params[step]
+            )
+            self.params[step] = optax.apply_updates(self.params[step], updates)
+            losses.append(float(loss))
+        self.ckpt.save(self.params, "recent")
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def train(self, max_batches_per_step: int | None = None):
+        for step in range(self.config.budget):
+            self.train_step_level(step, max_batches=max_batches_per_step)
+
+    def evaluate(self, split: str = "test", max_batches=None):
+        prev: list[np.ndarray] = []
+
+        def reset_prev():
+            prev.clear()
+
+        def select(obs, step):
+            acts = np.argmin(self._values(step, obs, prev), axis=1)
+            prev.append(acts)
+            return acts
+
+        result = run_rollouts(
+            self.env,
+            self.loader(split),
+            select,
+            self.config.budget,
+            on_episode_start=reset_prev,
+            max_batches=max_batches,
+        )
+        self.save_result(result)
+        return result

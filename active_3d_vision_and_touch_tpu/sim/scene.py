@@ -28,6 +28,17 @@ TOUCH_YFOV_DEG = 40.0
 class Scene:
     def __init__(self, config: SimConfig | None = None, vision: bool = True):
         self.config = config or SimConfig()
+        if self.config.tacto:
+            # TACTO gels have a shorter sensing range (reference
+            # instance.py:46-48)
+            self.config.max_depth = min(self.config.max_depth, 0.015)
+            from active_3d_vision_and_touch_tpu.sim.tacto import TactoRenderer
+
+            self._tacto = TactoRenderer(
+                self.config.touch_resolution, self.config.max_depth
+            )
+        else:
+            self._tacto = None
         self.hand = Hand()
         self.grasper = AgnosticGrasp(self.hand)
         self.vision = vision
@@ -81,6 +92,8 @@ class Scene:
 
     def render_touch(self) -> np.ndarray:
         """(4, res, res, 3) gel images from the latest depths."""
+        if self._tacto is not None:
+            return np.stack([self._tacto.render(d) for d in self.depths])
         return np.stack(
             [depth_to_touch(d, self.config.max_depth) for d in self.depths]
         )
