@@ -32,22 +32,24 @@ _TM = 512  # reference tile
 def _nn_kernel(x_ref, y_ref, d_ref, i_ref):
     """One (batch, query-tile, ref-tile) grid step of the running-min NN.
 
-    x_ref: (1, 3, TN) query coords, y_ref: (1, 3, TM) reference coords,
+    x_ref: (1, 3, TN) query coords, y_ref: (1, TM, 3) reference coords,
     d_ref/i_ref: (1, TN) running best squared distance / index.
+
+    Distances are expanded per coordinate on the VPU in full f32 — the
+    |x|^2+|y|^2-2xy MXU formulation loses ~1e-1 of accuracy to bf16 MXU
+    passes at unit coordinate scale, and with K=3 the MXU buys nothing.
+    The (TM, TN) layout puts the min-reduce on sublanes so the result
+    lands directly in the output's (1, TN) lane layout.
     """
     k = pl.program_id(2)
     x = x_ref[0]  # (3, TN)
-    y = y_ref[0]  # (3, TM)
+    y = y_ref[0]  # (TM, 3)
     d_ref = d_ref.at[0]  # (1, TN) view of the (1, 1, TN) block
     i_ref = i_ref.at[0]
-    x2 = jnp.sum(x * x, axis=0, keepdims=True)  # (1, TN)
-    y2 = jnp.sum(y * y, axis=0, keepdims=True)  # (1, TM)
-    # cross term on the MXU; layout (TM, TN) so the min-reduce runs over
-    # sublanes and the result lands in the output's (1, TN) lane layout
-    yx = jax.lax.dot_general(
-        y, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (TM, TN)
-    dist = jnp.maximum(jnp.transpose(y2) + x2 - 2.0 * yx, 0.0)  # (TM, TN)
+    dist = jnp.zeros((y.shape[0], x.shape[1]), jnp.float32)  # (TM, TN)
+    for c in range(3):
+        diff = y[:, c : c + 1] - x[c : c + 1, :]
+        dist = dist + diff * diff
     local_d = jnp.min(dist, axis=0, keepdims=True)  # (1, TN)
     local_i = jnp.argmin(dist, axis=0).reshape(1, -1) + k * _TM
 
@@ -84,8 +86,7 @@ def _min_dists_pallas(
     xp = _pad_to(x.astype(jnp.float32), 1, _TN, 1e6)
     yp = _pad_to(y.astype(jnp.float32), 1, _TM, 1e8)
     xt = jnp.transpose(xp, (0, 2, 1))  # (B, 3, Np)
-    yt = jnp.transpose(yp, (0, 2, 1))  # (B, 3, Mp)
-    np_, mp_ = xt.shape[2], yt.shape[2]
+    np_, mp_ = xt.shape[2], yp.shape[1]
 
     grid = (b, np_ // _TN, mp_ // _TM)
     d, i = pl.pallas_call(
@@ -96,7 +97,7 @@ def _min_dists_pallas(
                 (1, 3, _TN), lambda b_, i_, k_: (b_, 0, i_), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 3, _TM), lambda b_, i_, k_: (b_, 0, k_), memory_space=pltpu.VMEM
+                (1, _TM, 3), lambda b_, i_, k_: (b_, k_, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
@@ -117,7 +118,7 @@ def _min_dists_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xt, yt)
+    )(xt, yp)
     return d[:, 0, :n], jnp.clip(i[:, 0, :n], 0, m - 1)
 
 
