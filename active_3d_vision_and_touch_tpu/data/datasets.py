@@ -289,20 +289,34 @@ class Loader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
 
         def worker():
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for idxs in batches:
-                    items = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(self.dataset.collate(items))
-            q.put(stop)
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs in batches:
+                        if abandoned.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, idxs))
+                        while not abandoned.is_set():
+                            try:
+                                q.put(self.dataset.collate(items), timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                q.put(stop)
+            except Exception:  # consumer gone / interpreter shutdown
+                return
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            abandoned.set()

@@ -196,6 +196,47 @@ def _chamfer_bwd(use_pallas, res, g):
 chamfer_distance.defvjp(_chamfer_fwd, _chamfer_bwd)
 
 
+def chamfer_distance_sharded(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mesh,
+    axis: str = "dp",
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Chamfer distance with the *point* dimension of ``y`` sharded over a
+    device mesh — the nearest-neighbor analog of sequence parallelism
+    (SURVEY.md §2.4: "shard the point dimension and psum-combine running
+    minima").  Each device scans its shard of ``y`` against all of ``x``
+    (min-combined over ICI) and its shard's own queries against the full
+    ``x`` (sum-combined).  Exact same value as :func:`chamfer_distance`.
+
+    x: (B, N, 3) replicated; y: (B, M, 3) with M divisible by the mesh
+    size; returns (B,) replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.shape[axis]
+    m = y.shape[1]
+    assert m % n_dev == 0, f"point dim {m} not divisible by mesh size {n_dev}"
+
+    def local(x_full, y_shard):
+        # direction 1: every x against the local y shard, min over devices
+        dx_local, _ = _min_dists(x_full, y_shard, use_pallas)
+        dx = jax.lax.pmin(dx_local, axis)
+        # direction 2: local y queries against full x, averaged over devices
+        dy_local, _ = _min_dists(y_shard, x_full, use_pallas)
+        dy_sum = jax.lax.psum(jnp.sum(dy_local, axis=1), axis)
+        return jnp.mean(dx, axis=1) + dy_sum / m
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None)),
+        out_specs=P(),
+    )(x, y)
+
+
 def mesh_chamfer_distance(
     verts: jnp.ndarray,
     faces: jnp.ndarray,

@@ -102,3 +102,62 @@ class AutoencoderEngine(ReconEngine):
         return self.model.apply(
             {"params": state["params"]}, verts, mask, self.adj, only_encode=True
         )
+
+    def collect_latents(self, loader):
+        """(latents (N, E), names) over a loader of vision batches."""
+        import numpy as np
+
+        if not hasattr(self, "state"):
+            self.build()
+        encode = jax.jit(lambda v, m: self.encode(self.state, v, m))
+        latents, names = [], []
+        for batch in loader:
+            verts, mask = self._deform(batch)
+            latents.append(np.asarray(encode(verts, mask)))
+            names += list(batch.get("names", range(len(verts))))
+        return np.concatenate(latents, axis=0), names
+
+    def cluster(
+        self,
+        loader,
+        image_dir: str,
+        out_dir: str,
+        examples: int = 20,
+        neighbors: int = 4,
+        seed: int = 0,
+    ):
+        """Latent-space nearest-neighbor collages: for random anchors, tile
+        the images of their closest distinct latents (the reference's
+        qualitative AE eval, ``autoencoder/train.py:316-346``)."""
+        import os
+
+        import numpy as np
+        from PIL import Image
+
+        latents, names = self.collect_latents(loader)
+        os.makedirs(out_dir, exist_ok=True)
+        rng = np.random.default_rng(seed)
+        anchors = rng.choice(len(latents), size=min(examples, len(latents)))
+        paths = []
+        for v, anchor in enumerate(anchors):
+            d = ((latents - latents[anchor]) ** 2).sum(-1)
+            order = np.argsort(d)
+            seen, row = [], []
+            for idx in order:
+                obj = str(names[idx][0] if isinstance(names[idx], tuple) else names[idx])
+                obj = obj.split("/")[-1]
+                if obj in seen:
+                    continue
+                seen.append(obj)
+                row.append(os.path.join(image_dir, obj + ".npy"))
+                if len(row) == neighbors + 1:
+                    break
+            tiles = [np.load(p) for p in row]
+            dim = tiles[0].shape[0]
+            collage = Image.new("RGB", (dim * len(tiles), dim))
+            for i, tile in enumerate(tiles):
+                collage.paste(Image.fromarray(tile.astype(np.uint8)), (i * dim, 0))
+            path = os.path.join(out_dir, f"valid_{v}.png")
+            collage.save(path)
+            paths.append(path)
+        return paths

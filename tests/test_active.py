@@ -256,3 +256,52 @@ def test_supervised_and_nearest_and_ddqn(world):
     assert np.isfinite(stats["reward"])
     result = ddqn.evaluate(split="test", max_batches=1)
     assert np.isfinite(result.pct_cd_remaining)
+
+
+def test_ddqn_graph_model(world):
+    tmp, config, env, batch = world
+    from active_3d_vision_and_touch_tpu.active.policies.ddqn import DDQNEngine
+
+    cfg = small_policy_config(
+        tmp, use_latent=False, use_recon=True, exp_id="ddqn_graph", budget=2,
+        hidden_dim=16, layers=2, burn_in=2, train_batch_size=2, mem_capacity=16,
+        pretrained_recon=False,
+    )
+    ddqn = DDQNEngine(cfg, data_root=tmp, env=env)
+    stats = ddqn.train_epoch(max_batches=1)
+    assert np.isfinite(stats["reward"])
+    q = ddqn.q_values(env.reset(batch))
+    assert q.shape == (B, cfg.num_actions)
+
+
+def test_autoencoder_cluster(world, tmp_path):
+    tmp, config, env, batch = world
+    from active_3d_vision_and_touch_tpu.data.generation import object_dirs
+    from active_3d_vision_and_touch_tpu.train.autoencoder import AutoencoderEngine
+    from active_3d_vision_and_touch_tpu.train.vision import VisionEngine
+
+    vision = VisionEngine(config, log=False)
+    vstate = vision.init_state(jax.random.PRNGKey(0))
+    acfg = AutoencoderConfig(
+        **{k: v for k, v in config.__dict__.items() if k in AutoencoderConfig().__dict__},
+    )
+    acfg.encoding_size = 8
+    acfg.grid_size = 8
+    acfg.exp_id = "auto_cluster"
+    eng = AutoencoderEngine(acfg, vision_engine=vision, vision_state=vstate, log=False)
+    eng.build()
+
+    dirs = object_dirs(tmp)
+    names = sorted(
+        f[: -len(".npy")] for f in os.listdir(dirs["images_colourful"])
+    )[:4]
+    fake_batch = {
+        "gt_points": batch["gt_points"].repeat(2, axis=0)[:4],
+        "touch_charts": np.zeros((4, config.num_grasps, 4, 25, 4), np.float32),
+        "names": [(n, ()) for n in names],
+    }
+    paths = eng.cluster(
+        [fake_batch], dirs["images_colourful"], str(tmp_path), examples=2, neighbors=2
+    )
+    assert len(paths) == 2
+    assert all(os.path.exists(p) for p in paths)

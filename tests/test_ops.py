@@ -146,3 +146,29 @@ def test_camera_grid_in_range():
     pts = np.random.default_rng(0).uniform(-0.1, 0.1, size=(1, 64, 3))
     grid = cam.normalized_grid(pts)
     assert np.abs(grid).max() < 1.0
+
+
+def test_sampling_and_chamfer_deterministic(rng):
+    # JAX PRNG keys make the whole loss pipeline reproducible (the
+    # reference needs cuDNN determinism flags; here it's structural)
+    chart = touch_chart()
+    verts = jnp.asarray(chart.verts)[None]
+    faces = jnp.asarray(chart.faces)
+    gt = jnp.asarray(rng.normal(size=(1, 100, 3)), jnp.float32) * 0.01
+    key = jax.random.PRNGKey(42)
+    a = mesh_chamfer_distance(verts, faces, gt, key, num=200)
+    b = mesh_chamfer_distance(verts, faces, gt, key, num=200)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    c = mesh_chamfer_distance(verts, faces, gt, jax.random.PRNGKey(43), num=200)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_chamfer_sharded_matches_single_device(rng):
+    from active_3d_vision_and_touch_tpu.ops.chamfer import chamfer_distance_sharded
+    from active_3d_vision_and_touch_tpu.parallel import data_parallel_mesh
+
+    mesh = data_parallel_mesh()  # 8 virtual CPU devices
+    x, y = _clouds(rng, b=2, n=256, m=512)
+    ref = chamfer_distance(x, y)
+    sharded = chamfer_distance_sharded(x, y, mesh)
+    assert np.allclose(np.asarray(sharded), np.asarray(ref), rtol=1e-5, atol=1e-6)
