@@ -35,9 +35,12 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place every leaf of a batch pytree with its leading axis sharded."""
+    """Place every array leaf of a batch pytree with its leading axis
+    sharded; non-numeric leaves (names, metadata strings) pass through."""
 
     def put(x):
+        if isinstance(x, (str, bytes)) or x is None:
+            return x
         x = jax.numpy.asarray(x)
         return jax.device_put(x, batch_sharding(mesh, x.ndim))
 

@@ -77,6 +77,8 @@ class ReconEngine:
         total, count = 0.0, 0
         step_base = self.epoch * 100_000
         for i, batch in enumerate(loader):
+            # metadata (names) stays on host; jit steps take arrays only
+            batch = {k: v for k, v in batch.items() if k != "names"}
             batch = shard_batch(batch, self.mesh)
             key = self._step_key(step_base + i)
             if train:
