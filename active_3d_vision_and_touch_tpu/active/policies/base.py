@@ -120,3 +120,9 @@ class PolicyEngine:
             scores=result.scores,
             actions=result.actions,
         )
+        if self.config.visualize:
+            from active_3d_vision_and_touch_tpu.utils.viz import visualize_actions
+
+            visualize_actions(
+                self.config.results_dir, result.actions, self.config.num_actions
+            )

@@ -57,6 +57,7 @@ class BaseConfig:
     limit_data: bool = False
     eval: bool = False
     pretrained: bool = False
+    visualize: bool = False
     experiments_root: str = "experiments"
 
     @property

@@ -139,3 +139,51 @@ class VisionEngine(ReconEngine):
     def eval_step(self, state, batch, key):
         loss, _ = self._loss(state["params"], state["batch_stats"], batch, key, False)
         return loss
+
+    def evaluate_detailed(self, loader, visualize_dir: str | None = None,
+                          max_visualize: int = 8):
+        """Per-object CD over a loader, optionally rendering the first few
+        predictions (the reference's eval + --visualize path,
+        ``vision/train.py:159-208``).  Returns (mean_cd, per_object list)."""
+        import numpy as np
+
+        from active_3d_vision_and_touch_tpu.ops import mesh_chamfer_distance
+
+        if not hasattr(self, "state"):
+            self.build()
+
+        def detailed(state, batch, key):
+            verts, mask, _ = self.apply(state, batch, train=False)
+            cd = mesh_chamfer_distance(
+                verts, self.faces, batch["gt_points"], key,
+                num=self.config.number_points,
+            )
+            return verts, self.config.loss_coeff * cd
+
+        jit_detailed = jax.jit(detailed)
+        per_object, rendered = [], 0
+        for i, batch in enumerate(loader):
+            names = batch.get("names", None)
+            arrays = {k: v for k, v in batch.items() if k != "names"}
+            verts, cds = jit_detailed(self.state, arrays, self._step_key(i))
+            cds = np.asarray(cds)
+            for j, cd in enumerate(cds):
+                per_object.append(
+                    {"name": str(names[j][0]) if names else str(j), "cd": float(cd)}
+                )
+            if visualize_dir and rendered < max_visualize:
+                from active_3d_vision_and_touch_tpu.utils.viz import (
+                    visualize_prediction,
+                )
+
+                take = min(len(cds), max_visualize - rendered)
+                visualize_prediction(
+                    visualize_dir,
+                    np.asarray(verts)[:take],
+                    np.asarray(self.faces),
+                    [p["name"] for p in per_object[-len(cds):][:take]],
+                    gt_points=np.asarray(arrays["gt_points"])[:take],
+                )
+                rendered += take
+        mean_cd = float(np.mean([p["cd"] for p in per_object])) if per_object else float("nan")
+        return mean_cd, per_object

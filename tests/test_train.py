@@ -157,3 +157,29 @@ def test_autoencoder_engine(tmp_path, small_vision_cfg):
     verts, mask = eng._deform(batch)
     latent = eng.encode(state, verts, mask)
     assert latent.shape == (B, 16)
+
+
+def test_vision_evaluate_detailed(tmp_path, small_vision_cfg):
+    cfg = VisionConfig(
+        use_img=False,
+        use_touch=True,
+        finger=False,
+        experiments_root=str(tmp_path),
+        exp_id="detailed",
+        **small_vision_cfg,
+    )
+    eng = VisionEngine(cfg, mesh=data_parallel_mesh(), log=False)
+    eng.build()
+
+    def loader():
+        batch = next(vision_batches(cfg, 1))
+        batch["names"] = [(f"obj{i}", ()) for i in range(B)]
+        yield batch
+
+    mean_cd, per_object = eng.evaluate_detailed(
+        loader(), visualize_dir=str(tmp_path / "viz"), max_visualize=2
+    )
+    assert np.isfinite(mean_cd)
+    assert len(per_object) == B
+    import os
+    assert os.path.exists(tmp_path / "viz" / "obj0" / "prediction.png")
