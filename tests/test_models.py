@@ -120,3 +120,34 @@ def test_deformation_gradients_flow(adj_info):
     grads = jax.grad(loss_fn)(variables["params"])
     leaves = jax.tree_util.tree_leaves(grads)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_flax_conv_matches_torch_conv():
+    """Anchor the NHWC conv arithmetic (kernel 5, stride 2, pad 2) against
+    torch's NCHW conv with identical weights — the touch CNN's layout
+    contract."""
+    torch = pytest.importorskip("torch")
+    import flax.linen as fnn
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 121, 121, 3)).astype(np.float32)
+    w = rng.normal(size=(5, 5, 3, 8)).astype(np.float32) * 0.1  # HWIO
+    b = rng.normal(size=(8,)).astype(np.float32)
+
+    conv = fnn.Conv(8, (5, 5), strides=(2, 2), padding=((2, 2), (2, 2)))
+    out = conv.apply(
+        {"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}},
+        jnp.asarray(x),
+    )
+
+    t_out = torch.nn.functional.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w).permute(3, 2, 0, 1),  # OIHW
+        torch.from_numpy(b),
+        stride=2,
+        padding=2,
+    ).permute(0, 2, 3, 1).numpy()
+
+    assert out.shape == (2, 61, 61, 8)  # 121 -> 61, torch arithmetic
+    assert np.allclose(np.asarray(out), t_out, atol=1e-4)

@@ -172,3 +172,20 @@ def test_chamfer_sharded_matches_single_device(rng):
     ref = chamfer_distance(x, y)
     sharded = chamfer_distance_sharded(x, y, mesh)
     assert np.allclose(np.asarray(sharded), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_bilinear_sample_matches_torch_grid_sample(rng):
+    torch = pytest.importorskip("torch")
+
+    feat = rng.normal(size=(2, 7, 9, 5)).astype(np.float32)  # NHWC
+    grid = rng.uniform(-1.3, 1.3, size=(2, 11, 2)).astype(np.float32)
+
+    ours = bilinear_sample(jnp.asarray(feat), jnp.asarray(grid))
+
+    t_feat = torch.from_numpy(feat).permute(0, 3, 1, 2)  # NCHW
+    t_grid = torch.from_numpy(grid).reshape(2, 11, 1, 2)
+    t_out = torch.nn.functional.grid_sample(
+        t_feat, t_grid, align_corners=True, padding_mode="zeros"
+    )  # (B, C, 11, 1)
+    expected = t_out[:, :, :, 0].permute(0, 2, 1).numpy()
+    assert np.allclose(np.asarray(ours), expected, atol=1e-5)
