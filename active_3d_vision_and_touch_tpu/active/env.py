@@ -19,8 +19,6 @@ to sensor origin), 2 successful touch, 3 vision chart.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +65,7 @@ class ActiveTouchEnv:
             bs=config.env_batch_size, vision=False, config=SimConfig()
         )
 
+        self._greedy_rng = np.random.default_rng(config.seed + 12345)
         self.num_fingers = config.num_fingers
         b, f, g = config.env_batch_size, self.num_fingers, config.num_grasps
         self._chart_shape = (b, f, g, 25, 3)
@@ -158,7 +157,6 @@ class ActiveTouchEnv:
         element (reference ``environment.py:167-213``)."""
         c = self.config
         b = c.env_batch_size
-        rng = np.random.default_rng(self.steps + 12345)
         if greedy_checks is None or greedy_checks >= c.num_actions:
             candidates = np.tile(np.arange(c.num_actions), (b, 1))
         else:
@@ -166,7 +164,7 @@ class ActiveTouchEnv:
             for i in range(b):
                 unseen = np.nonzero(self.current["mask"][i] == 0)[0]
                 k = min(greedy_checks, len(unseen))
-                candidates[i] = rng.choice(unseen, size=k, replace=False)
+                candidates[i] = self._greedy_rng.choice(unseen, size=k, replace=False)
 
         best_action = np.zeros(b, int)
         best_score = np.full(b, np.inf)
