@@ -179,6 +179,16 @@ class ActiveTouchEnv:
         obs, reward, done = self.step(best_action)
         return best_action, obs, reward, done
 
+    def reset_sampler(self) -> None:
+        """Tear down and rebuild the host simulator scenes (API parity with
+        the reference's pybullet memory-leak workaround,
+        ``environment.py:367-373``; our scenes don't leak, but long runs can
+        still recycle the thread pool)."""
+        self.sampler.disconnect()
+        self.sampler = Sampler(
+            bs=self.config.env_batch_size, vision=False, config=SimConfig()
+        )
+
     # --------------------------------------------------------------- obs
     def _apply_signals(self, actions) -> None:
         """Run the sim for ``actions`` and write charts into the current

