@@ -13,6 +13,8 @@ Run: python examples/full_pipeline_demo.py [root]
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import numpy as np
 

@@ -8,6 +8,8 @@ Run: python examples/simulator_demo.py [out_dir]
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from active_3d_vision_and_touch_tpu.data import random_object
