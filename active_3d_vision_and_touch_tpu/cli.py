@@ -59,16 +59,6 @@ def _config_from_args(args, cls):
     return cfg
 
 
-def _loaders_for(cfg, root, dataset_cls, train_split, collate_batch):
-    from active_3d_vision_and_touch_tpu.data.datasets import Loader
-
-    def make(split, shuffle):
-        ds = dataset_cls(root, split=split)
-        return lambda: Loader(ds, batch_size=cfg.batch_size, shuffle=shuffle)
-
-    return make(train_split, True), make("valid", False)
-
-
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="a3vt")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -125,16 +115,23 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "train-touch":
-        from active_3d_vision_and_touch_tpu.data.datasets import TouchDataset
+        from active_3d_vision_and_touch_tpu.data.datasets import Loader, TouchDataset
         from active_3d_vision_and_touch_tpu.train.touch import TouchEngine
 
         cfg = _config_from_args(args, TouchConfig)
         engine = TouchEngine(cfg)
-        train, valid = _loaders_for(cfg, args.root, TouchDataset, "recon_train", None)
+        limit = 3000 if cfg.limit_data else None
+
+        def make(split, shuffle):
+            ds = TouchDataset(
+                args.root, split=split, num_samples=cfg.num_samples, limit=limit
+            )
+            return lambda: Loader(ds, batch_size=cfg.batch_size, shuffle=shuffle)
+
         if cfg.eval:
-            print("eval loss:", engine.evaluate(valid()))
+            print("eval loss:", engine.evaluate(make("test", False)()))
         else:
-            print("best loss:", engine.fit(train, valid))
+            print("best loss:", engine.fit(make("recon_train", True), make("valid", False)))
         return 0
 
     if args.command == "train-vision":
@@ -155,6 +152,7 @@ def main(argv=None) -> int:
                 num_grasps=cfg.num_grasps,
                 number_points=cfg.number_points,
                 eval_mode=cfg.eval,
+                limit=2000 if cfg.limit_data else None,
             )
             return lambda: Loader(ds, batch_size=cfg.batch_size, shuffle=shuffle)
 
@@ -200,6 +198,7 @@ def main(argv=None) -> int:
                 finger=cfg.finger,
                 num_grasps=cfg.num_grasps,
                 number_points=cfg.number_points,
+                limit=2000 if cfg.limit_data else None,
             )
             return lambda: Loader(ds, batch_size=cfg.batch_size, shuffle=shuffle)
 
