@@ -13,6 +13,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# persistent XLA compilation cache: repeat runs skip the multi-minute compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 
 
 def main():
@@ -20,6 +22,8 @@ def main():
     ap.add_argument("--root", default="data_mini")
     ap.add_argument("--out", default="results_mini")
     ap.add_argument("--auto-epochs", type=int, default=6)
+    ap.add_argument("--train-batches", type=int, default=2)
+    ap.add_argument("--ddqn-epochs", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -133,15 +137,16 @@ def main():
         print(name, entry)
         json.dump(summary, open(summary_path, "w"), indent=2)
 
-    run("mfba", MFBAEngine, lambda e: e.train(train_fraction=1.0, max_batches=2))
-    run("leba", LEBAEngine, lambda e: e.train(train_fraction=1.0, max_batches=2))
+    tb = args.train_batches
+    run("mfba", MFBAEngine, lambda e: e.train(train_fraction=1.0, max_batches=tb))
+    run("leba", LEBAEngine, lambda e: e.train(train_fraction=1.0, max_batches=tb))
     run(
         "nearest_neighbor",
         NearestNeighborEngine,
-        lambda e: e.train(train_fraction=1.0, max_batches=2),
+        lambda e: e.train(train_fraction=1.0, max_batches=tb),
     )
-    run("supervised", SupervisedEngine, lambda e: e.train(max_batches_per_step=2))
-    run("ddqn", DDQNEngine, lambda e: [e.train_epoch() for _ in range(3)])
+    run("supervised", SupervisedEngine, lambda e: e.train(max_batches_per_step=tb))
+    run("ddqn", DDQNEngine, lambda e: [e.train_epoch() for _ in range(args.ddqn_epochs)])
 
     json.dump(summary, open(summary_path, "w"), indent=2)
     print(json.dumps(summary, indent=2))
