@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import queue
+import zlib
 import random
 import threading
 from glob import glob
@@ -157,7 +158,8 @@ class VisionDataset:
             name, _ = rng.choice(self.items)
         else:
             name, seed = self.items[index]
-            rng = random.Random(hash((name, seed)) & 0xFFFFFFFF)
+            # stable across processes (python's str hash is salted)
+            rng = random.Random(zlib.crc32(f"{name}:{seed}".encode()))
         if (not self.training) and self.eval_mode and self.val_grasps >= 0:
             count = self.val_grasps
         else:
@@ -168,7 +170,7 @@ class VisionDataset:
 
     def __getitem__(self, index: int) -> dict:
         name, grasps = self._grasp_draw(index)
-        rng = np.random.default_rng(abs(hash((name, index))) & 0xFFFFFFFF)
+        rng = np.random.default_rng(zlib.crc32(f"{name}:{index}".encode()))
         data = {"names": (name, tuple(grasps))}
 
         points = np.load(os.path.join(self.dirs["point_cloud_info"], name + ".npy"))
@@ -226,7 +228,7 @@ class ActiveDataset:
 
     def __getitem__(self, index: int) -> dict:
         name = self.names[index]
-        rng = np.random.default_rng(abs(hash(name)) & 0xFFFFFFFF)
+        rng = np.random.default_rng(zlib.crc32(str(name).encode()))
         points = np.load(os.path.join(self.dirs["point_cloud_info"], name + ".npy"))
         rng.shuffle(points)
         data = {
