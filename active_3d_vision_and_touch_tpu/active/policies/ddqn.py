@@ -177,7 +177,10 @@ class DDQNEngine(PolicyEngine):
                 q_all, batch["actions"][:, None].astype(jnp.int32), axis=1
             )[:, 0]
             next_online = self.model.apply({"params": p}, *next_args)
-            # penalize performed actions when choosing the argmax
+            # penalize performed actions when choosing the next argmax; the
+            # reference penalizes with the *pre-action* mask here
+            # (ddqn.py:26-28 via forward's obs["mask"]) — we use the next
+            # mask, which also excludes the just-performed action
             next_online = jnp.where(batch["mask_n"] > 0, -1e10, next_online)
             best_next = jnp.argmax(next_online, axis=1)
             next_target = self.model.apply({"params": target_params}, *next_args)
