@@ -92,3 +92,19 @@ def test_cli_parsers():
             cli.main(argv + ["--help"])
         except SystemExit as e:
             assert e.code == 0
+
+
+def test_cli_generate_data(tmp_path, capsys):
+    from active_3d_vision_and_touch_tpu import cli
+
+    rc = cli.main(
+        ["generate-data", "--root", str(tmp_path), "--objects", "2", "--actions", "2"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+
+    splits = json.loads(out)
+    assert sum(splits.values()) <= 2 and splits["recon_train"] >= 1
+    assert (tmp_path / "data_split.npy").exists()
+    assert (tmp_path / "grasp_info").is_dir()
