@@ -151,3 +151,32 @@ def test_flax_conv_matches_torch_conv():
 
     assert out.shape == (2, 61, 61, 8)  # 121 -> 61, torch arithmetic
     assert np.allclose(np.asarray(out), t_out, atol=1e-4)
+
+
+def test_gcn_layer_cut_semantics_golden():
+    """Hand-computed check of the cut rule: only the first round(out*cut)
+    features aggregate over the graph and receive bias (reference quirk,
+    vision/model.py:351-363)."""
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(1, 3, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    adj = jnp.asarray(
+        np.array([[0.5, 0.5, 0.0], [0.0, 1.0, 0.0], [0.2, 0.3, 0.5]]), jnp.float32
+    )
+    layer = GCNLayer(out_features=6, cut=0.33, do_cut=True)
+    out = layer.apply({"params": {"weight": w, "bias": b}}, feats, adj)
+
+    fw = np.asarray(feats) @ np.asarray(w)
+    length = round(6 * 0.33)  # = 2
+    expected = np.concatenate(
+        [np.asarray(adj) @ fw[0, :, :length] + np.asarray(b)[:length], fw[0, :, length:]],
+        axis=-1,
+    )
+    assert np.allclose(np.asarray(out)[0], expected, atol=1e-5)
+
+    # final (no-cut) layer: full aggregation + full bias
+    layer2 = GCNLayer(out_features=6, do_cut=False)
+    out2 = layer2.apply({"params": {"weight": w, "bias": b}}, feats, adj)
+    expected2 = np.asarray(adj) @ fw[0] + np.asarray(b)
+    assert np.allclose(np.asarray(out2)[0], expected2, atol=1e-5)

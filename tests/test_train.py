@@ -183,3 +183,22 @@ def test_vision_evaluate_detailed(tmp_path, small_vision_cfg):
     assert len(per_object) == B
     import os
     assert os.path.exists(tmp_path / "viz" / "obj0" / "prediction.png")
+
+
+def test_early_stop_patience():
+    from active_3d_vision_and_touch_tpu.train.common import EarlyStop
+
+    es = EarlyStop(patience=2)
+    assert es.update(1.0)  # improvement
+    assert not es.update(2.0)
+    assert not es.should_stop
+    assert not es.update(3.0)
+    assert es.should_stop
+    # state roundtrip
+    es2 = EarlyStop(patience=2)
+    es2.restore(es.state())
+    assert es2.best == 1.0 and es2.should_stop
+    # equal value counts as improvement (reference uses >=)
+    es3 = EarlyStop(patience=1)
+    es3.update(5.0)
+    assert es3.update(5.0)
