@@ -112,3 +112,18 @@ def test_active_dataset(dataset_root):
         item = ds[0]
         assert item["gt_points"].shape == (128, 3)
         assert "names" in item
+
+
+def test_vision_dataset_validation_deterministic(dataset_root):
+    root, splits = dataset_root
+    split = next(s for s in ("valid", "test") if splits[s])
+    kw = dict(
+        split=split, num_grasps=2, number_points=64, num_actions=6,
+        use_img=False, use_touch=False,
+    )
+    a = VisionDataset(root, **kw)
+    b = VisionDataset(root, **kw)
+    if len(a):
+        ia, ib = a[0], b[0]
+        assert ia["names"] == ib["names"]  # same seeded grasp draw
+        assert np.array_equal(ia["gt_points"], ib["gt_points"])
