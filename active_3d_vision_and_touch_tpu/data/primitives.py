@@ -119,7 +119,43 @@ def rounded_box(rng: np.random.Generator, subdivisions: int = 3) -> Mesh:
     return Mesh(verts.astype(np.float32), base.faces)
 
 
-GENERATORS = (bumpy_sphere, superquadric, rounded_box)
+def torus(rng: np.random.Generator, resolution: int = 24) -> Mesh:
+    """Torus with randomized radii (gives the dataset a genus-1 shape —
+    concavity + a hole, which the convex-hull-trained policies must probe)."""
+    major = float(rng.uniform(0.6, 1.0))
+    minor = float(rng.uniform(0.15, 0.45)) * major
+    u = np.linspace(0, 2 * np.pi, resolution, endpoint=False)
+    v = np.linspace(0, 2 * np.pi, resolution, endpoint=False)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    x = (major + minor * np.cos(vv)) * np.cos(uu)
+    y = (major + minor * np.cos(vv)) * np.sin(uu)
+    z = minor * np.sin(vv)
+    verts = np.stack([x, y, z], -1).reshape(-1, 3)
+    faces = []
+    for i in range(resolution):
+        for j in range(resolution):
+            i2, j2 = (i + 1) % resolution, (j + 1) % resolution
+            a, b = i * resolution + j, i * resolution + j2
+            c, d = i2 * resolution + j, i2 * resolution + j2
+            faces += [[a, b, c], [b, d, c]]
+    squash = rng.uniform(0.6, 1.0, size=(1, 3))
+    return Mesh((verts * squash).astype(np.float32), np.asarray(faces, np.int32))
+
+
+def blob_union(rng: np.random.Generator) -> Mesh:
+    """Union of two offset deformed blobs (triangle soup — the voxel-carve
+    point extraction, hull grasping, and z-buffer rendering all accept
+    non-watertight unions)."""
+    a = bumpy_sphere(rng, subdivisions=2)
+    b = bumpy_sphere(rng, subdivisions=2)
+    offset = rng.uniform(-0.7, 0.7, size=3)
+    scale_b = float(rng.uniform(0.4, 0.9))
+    verts = np.concatenate([a.verts, b.verts * scale_b + offset.astype(np.float32)])
+    faces = np.concatenate([a.faces, b.faces + a.num_verts])
+    return Mesh(verts, faces)
+
+
+GENERATORS = (bumpy_sphere, superquadric, rounded_box, torus, blob_union)
 
 
 def random_object(seed: int, scale: float = 3.1) -> Mesh:
