@@ -1,0 +1,273 @@
+"""Clustered (pruned) nearest-neighbor Chamfer distance.
+
+The exact brute-force kernel in :mod:`ops.chamfer` runs at VPU speed of
+light, so going faster needs an algorithm, not a schedule.  This module
+prunes the O(N·M) sweep with spatial locality:
+
+1. both clouds are sorted along a Morton (Z-order) curve, so contiguous
+   chunks of ``S`` reference points are spatially coherent,
+2. every *query tile* (the Pallas tile of TN sorted queries) selects ``T``
+   reference chunks by per-query vote: each query ranks chunks by the
+   lower bound ||q - chunk_center|| - chunk_radius and votes for its top
+   3; the tile scans the most-voted chunks (robust to Z-curve
+   discontinuities, which break tile-centroid heuristics),
+3. the Pallas kernel scans only those T chunks per tile: the chunk-id table
+   rides in as a scalar-prefetch operand and chunks are double-buffer
+   DMA'd from HBM — the pallas_guide scalar-prefetch + DMA pattern,
+4. distances to the chosen neighbor are re-derived exactly in f32 outside,
+   so pruning can only affect *which* neighbor is found, never the
+   arithmetic of the value/gradient; for surface-like clouds the found
+   neighbor matches brute force (validated in tests, tolerance-tested in
+   the wrapper).
+
+Work drops from N·M to N·(T·S + C) (e.g. 30k x 30k → ~10x less at the
+default S=128, T=24).  At those defaults the found neighbors matched brute
+force exactly on procedural surface clouds (tests).
+Exactness is not guaranteed in the worst case — the exact kernel remains
+the default for scoring; this one is the training-loss accelerator.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TN = 256  # queries per tile
+
+
+def _part1by2(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread 10 bits to every 3rd bit (int32 Morton helper)."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x30000FF
+    v = (v | (v << 8)) & 0x300F00F
+    v = (v | (v << 4)) & 0x30C30C3
+    v = (v | (v << 2)) & 0x9249249
+    return v
+
+
+def morton_codes(points: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) points → int32 Z-order codes on a 1024^3 lattice over
+    [lo, hi] (per-batch bounds, broadcastable)."""
+    scale = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip(((points - lo) / scale * 1023.0), 0, 1023).astype(jnp.int32)
+    return (
+        _part1by2(q[..., 0])
+        | (_part1by2(q[..., 1]) << 1)
+        | (_part1by2(q[..., 2]) << 2)
+    )
+
+
+def _sort_by_morton(pts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort each batch's points along the Z-curve; returns (sorted, perm)."""
+    lo = jnp.min(pts, axis=1, keepdims=True)
+    hi = jnp.max(pts, axis=1, keepdims=True)
+    codes = morton_codes(pts, lo, hi)  # (B, N)
+    perm = jnp.argsort(codes, axis=1)
+    return jnp.take_along_axis(pts, perm[..., None], axis=1), perm
+
+
+def _edge_pad_points(x, mult):
+    """Pad the point axis to a multiple by repeating the last point — a
+    constant far-away sentinel would poison tile/chunk centroids; harmless
+    duplicates cannot change any minimum."""
+    pad = (-x.shape[1]) % mult
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.broadcast_to(x[:, -1:, :], (x.shape[0], pad, 3))], axis=1
+    )
+
+
+def _nn_kernel(chunk_ids_ref, x_ref, y_hbm, d_ref, i_ref, scratch, sems):
+    """One query tile: scan its T prefetched reference chunks.
+
+    chunk_ids_ref: (B, n_tiles, T) int32 scalar-prefetch; x_ref (1, 3, TN)
+    VMEM; y_hbm (B, C*S, 3) stays in HBM; scratch (2, S, 3) VMEM double
+    buffer; d/i (1, 1, TN) outputs.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_chunks = chunk_ids_ref.shape[2]
+    s = scratch.shape[1]
+    x = x_ref[0]  # (3, TN)
+
+    def chunk_dma(slot, j):
+        cid = chunk_ids_ref[b, t, j]
+        return pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(cid * s, s), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    chunk_dma(0, 0).start()
+
+    def body(j, carry):
+        d_best, i_best = carry
+        slot = j % 2
+
+        @pl.when(j + 1 < n_chunks)
+        def _():
+            chunk_dma((j + 1) % 2, j + 1).start()
+
+        chunk_dma(slot, j).wait()
+        y = scratch[slot]  # (S, 3)
+        dist = jnp.zeros((s, x.shape[1]), jnp.float32)
+        for c in range(3):
+            diff = y[:, c : c + 1] - x[c : c + 1, :]
+            dist = dist + diff * diff
+        local_d = jnp.min(dist, axis=0, keepdims=True)  # (1, TN)
+        base = chunk_ids_ref[b, t, j] * s
+        local_i = jnp.argmin(dist, axis=0).reshape(1, -1).astype(jnp.int32) + base
+        better = local_d < d_best
+        return jnp.where(better, local_d, d_best), jnp.where(better, local_i, i_best)
+
+    d0 = jnp.full((1, x.shape[1]), 1e30, jnp.float32)
+    i0 = jnp.zeros((1, x.shape[1]), jnp.int32)
+    d, i = jax.lax.fori_loop(0, n_chunks, body, (d0, i0))
+    d_ref[0] = d
+    i_ref[0] = i
+
+
+def _nn_clustered_sorted(
+    xs: jnp.ndarray,  # (B, Np, 3) Morton-sorted, padded queries
+    ys: jnp.ndarray,  # (B, C*S, 3) Morton-sorted, padded references
+    chunk_size: int,
+    chunks_per_tile: int,
+    interpret: bool = False,
+):
+    """Min (distance approx, argmin-into-sorted-y) for sorted inputs."""
+    b, np_, _ = xs.shape
+    c = ys.shape[1] // chunk_size
+    n_tiles = np_ // _TN
+    t_sel = min(chunks_per_tile, c)
+
+    # Per-tile chunk selection by per-query vote.  A tile of Morton-sorted
+    # queries can straddle a Z-curve discontinuity, so a tile-centroid
+    # heuristic misses the minority side badly.  Instead every query ranks
+    # all chunks by the lower bound ||q - chunk_c|| - chunk_r, votes for
+    # its top-2, and the tile scans the T most-voted chunks (vote counts
+    # tie-broken toward chunks near the tile centroid).
+    y_chunks = ys.reshape(b, c, chunk_size, 3)
+    chunk_c = jnp.mean(y_chunks, axis=2)  # (B, C, 3)
+    chunk_r = jnp.sqrt(
+        jnp.max(jnp.sum((y_chunks - chunk_c[:, :, None, :]) ** 2, axis=-1), axis=2)
+    )  # (B, C)
+    q_dist = jnp.sqrt(
+        jnp.sum((xs[:, :, None, :] - chunk_c[:, None, :, :]) ** 2, axis=-1)
+    )  # (B, Np, C)
+    q_bound = q_dist - chunk_r[:, None, :]
+    _, q_top = jax.lax.top_k(-q_bound, min(3, c))  # (B, Np, 3)
+    votes = jax.nn.one_hot(q_top, c, dtype=jnp.float32).sum(axis=2)  # (B, Np, C)
+    tile_votes = votes.reshape(b, n_tiles, _TN, c).sum(axis=2)  # (B, nt, C)
+
+    tile_c = jnp.mean(xs.reshape(b, n_tiles, _TN, 3), axis=2)  # (B, nt, 3)
+    tile_bound = jnp.sqrt(
+        jnp.sum((tile_c[:, :, None, :] - chunk_c[:, None, :, :]) ** 2, axis=-1)
+    ) - chunk_r[:, None, :]
+    score = tile_votes + 1.0 / (1.0 + jnp.maximum(tile_bound, 0.0))
+    _, chunk_ids = jax.lax.top_k(score, t_sel)  # (B, nt, T)
+    chunk_ids = chunk_ids.astype(jnp.int32)
+
+    xt = jnp.transpose(xs, (0, 2, 1))  # (B, 3, Np)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, _TN), lambda b_, t_, *_: (b_, 0, t_), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # y stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, _TN), lambda b_, t_, *_: (b_, 0, t_), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, _TN), lambda b_, t_, *_: (b_, 0, t_), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk_size, 3), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    d, i = pl.pallas_call(
+        _nn_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),
+        ],
+        interpret=interpret,
+    )(chunk_ids, xt, ys)
+    return d[:, 0], i[:, 0]
+
+
+def min_dists_clustered(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    chunk_size: int = 128,
+    chunks_per_tile: int = 24,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B,N,3),(B,M,3) → per-query (B,N) exact squared distance to the
+    found neighbor and its index into the ORIGINAL y ordering."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, _ = x.shape
+    m = y.shape[1]
+
+    xs, xperm = _sort_by_morton(x)
+    ys, yperm = _sort_by_morton(y)
+    xs = _edge_pad_points(xs, _TN)
+    ys = _edge_pad_points(ys, chunk_size)
+
+    _, i_sorted = _nn_clustered_sorted(
+        xs, ys, chunk_size, chunks_per_tile, interpret
+    )
+    i_sorted = i_sorted[:, :n]
+    # positions in sorted-y → original indices; un-pad by clipping
+    i_sorted = jnp.clip(i_sorted, 0, m - 1)
+    i_orig_for_sorted_x = jnp.take_along_axis(yperm, i_sorted, axis=1)
+    # re-scatter to the original x order
+    i_orig = jnp.zeros((b, n), jnp.int32)
+    i_orig = jax.vmap(lambda dest, src, vals: dest.at[src].set(vals))(
+        i_orig, xperm[:, :n], i_orig_for_sorted_x
+    )
+    # exact distances in the original frame
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    d = jnp.sum((x - take(y, i_orig)) ** 2, axis=-1)
+    return d, i_orig
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def chamfer_distance_clustered(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    chunk_size: int = 128,
+    chunks_per_tile: int = 24,
+):
+    """Symmetric Chamfer distance via the pruned NN search (training-loss
+    accelerator; use :func:`ops.chamfer.chamfer_distance` for scoring)."""
+    dx, _ = min_dists_clustered(x, y, chunk_size, chunks_per_tile)
+    dy, _ = min_dists_clustered(y, x, chunk_size, chunks_per_tile)
+    return jnp.mean(dx, axis=1) + jnp.mean(dy, axis=1)
+
+
+def _fwd(x, y, chunk_size, chunks_per_tile):
+    dx, ix = min_dists_clustered(x, y, chunk_size, chunks_per_tile)
+    dy, iy = min_dists_clustered(y, x, chunk_size, chunks_per_tile)
+    return jnp.mean(dx, axis=1) + jnp.mean(dy, axis=1), (x, y, ix, iy)
+
+
+def _bwd(chunk_size, chunks_per_tile, res, g):
+    from active_3d_vision_and_touch_tpu.ops.chamfer import _chamfer_bwd
+
+    return _chamfer_bwd(None, res, g)
+
+
+chamfer_distance_clustered.defvjp(_fwd, _bwd)
