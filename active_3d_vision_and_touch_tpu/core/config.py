@@ -58,6 +58,8 @@ class BaseConfig:
     eval: bool = False
     pretrained: bool = False
     visualize: bool = False
+    # NN search for training losses: "exact" | "clustered" (Morton-pruned)
+    loss_nn: str = "exact"
     experiments_root: str = "experiments"
 
     @property

@@ -264,16 +264,26 @@ def mesh_chamfer_distance(
     num: int = 1000,
     repeat: int = 3,
     use_pallas: bool | None = None,
+    nn: str = "exact",
 ) -> jnp.ndarray:
     """Chamfer distance between a mesh (sampled ``num`` points, averaged over
     ``repeat`` independent samplings) and a ground-truth cloud.
 
-    Mirrors reference ``utility/utils.py:204-217``.
+    Mirrors reference ``utility/utils.py:204-217``.  ``nn="clustered"``
+    switches to the Morton-pruned NN search (training-loss accelerator,
+    :mod:`ops.chamfer_cluster`).
     """
     from active_3d_vision_and_touch_tpu.ops.sample import batch_sample
+
+    if nn == "clustered":
+        from active_3d_vision_and_touch_tpu.ops.chamfer_cluster import (
+            chamfer_distance_clustered as cd_fn,
+        )
+    else:
+        cd_fn = lambda a, b: chamfer_distance(a, b, use_pallas)  # noqa: E731
 
     cds = []
     for k in jax.random.split(key, repeat):
         pred = batch_sample(verts, faces, k, num=num)
-        cds.append(chamfer_distance(pred, gt_points, use_pallas))
+        cds.append(cd_fn(pred, gt_points))
     return jnp.mean(jnp.stack(cds), axis=0)

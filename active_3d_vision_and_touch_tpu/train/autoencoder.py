@@ -79,7 +79,8 @@ class AutoencoderEngine(ReconEngine):
         verts, mask = self._deform(batch)
         pred_points, latent = self.model.apply({"params": params}, verts, mask, self.adj)
         cd = mesh_chamfer_distance(
-            verts, self.faces, pred_points, key, num=self.config.number_points
+            verts, self.faces, pred_points, key,
+            num=self.config.number_points, nn=self.config.loss_nn,
         )
         return self.config.loss_coeff * jnp.mean(cd)
 

@@ -64,6 +64,7 @@ class TouchEngine(ReconEngine):
             batch["samples"],
             key,
             num=self.config.num_samples,
+            nn=self.config.loss_nn,
         )
         return self.config.loss_coeff * jnp.mean(cd), new_stats["batch_stats"]
 

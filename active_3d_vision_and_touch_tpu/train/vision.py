@@ -120,6 +120,7 @@ class VisionEngine(ReconEngine):
             batch["gt_points"],
             key,
             num=self.config.number_points,
+            nn=self.config.loss_nn,
         )
         return self.config.loss_coeff * jnp.mean(cd), new_stats
 
