@@ -63,7 +63,7 @@ def _radial_field(directions: np.ndarray, rng: np.random.Generator, bumps: int):
     """Smooth positive radial modulation from random spherical gaussians."""
     centers = rng.normal(size=(bumps, 3))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    amps = rng.uniform(-0.35, 0.5, size=bumps)
+    amps = rng.uniform(-0.55, 0.8, size=bumps)
     widths = rng.uniform(2.0, 8.0, size=bumps)
     cos = directions @ centers.T  # (V, bumps)
     field = 1.0 + (amps * np.exp(widths * (cos - 1.0))).sum(axis=1)
@@ -73,7 +73,7 @@ def _radial_field(directions: np.ndarray, rng: np.random.Generator, bumps: int):
 def bumpy_sphere(rng: np.random.Generator, subdivisions: int = 3) -> Mesh:
     base = icosphere(subdivisions)
     d = base.verts / np.linalg.norm(base.verts, axis=1, keepdims=True)
-    r = _radial_field(d, rng, bumps=int(rng.integers(3, 9)))
+    r = _radial_field(d, rng, bumps=int(rng.integers(3, 12)))
     verts = d * r[:, None]
     verts = verts * rng.uniform(0.5, 1.0, size=(1, 3))  # anisotropic squash
     return Mesh(verts.astype(np.float32), base.faces)
@@ -83,9 +83,9 @@ def superquadric(
     rng: np.random.Generator, resolution: int = 28
 ) -> Mesh:
     """Closed superquadric surface mesh (lat/long grid, poles welded)."""
-    e1 = float(rng.uniform(0.3, 1.8))
-    e2 = float(rng.uniform(0.3, 1.8))
-    ax = rng.uniform(0.4, 1.0, size=3)
+    e1 = float(rng.uniform(0.2, 2.2))
+    e2 = float(rng.uniform(0.2, 2.2))
+    ax = rng.uniform(0.25, 1.0, size=3)
 
     def sgnpow(x, p):
         return np.sign(x) * np.abs(x) ** p
@@ -160,9 +160,19 @@ GENERATORS = (bumpy_sphere, superquadric, rounded_box, torus, blob_union)
 
 def random_object(seed: int, scale: float = 3.1) -> Mesh:
     """Deterministic procedural object, preprocessed like dataset objects
-    (centered, max extent = 1/scale — reference ``data_making.py:76-95``)."""
+    (centered, max extent = 1/scale — reference ``data_making.py:76-95``).
+
+    A random global rotation multiplies shape entropy: without it every
+    generator family is roughly axis-aligned and a mean-shape prior
+    explains most of the distribution (the saturation measured in
+    results_div/touch_value.json).
+    """
+    from scipy.spatial.transform import Rotation as R
+
     rng = np.random.default_rng(seed)
     gen = GENERATORS[int(rng.integers(len(GENERATORS)))]
     mesh = gen(rng)
-    verts = scale_points(mesh.verts, scale=scale)
+    rot = R.random(random_state=np.random.RandomState(seed ^ 0x5EED)).as_matrix()
+    verts = mesh.verts @ rot.T.astype(np.float32)
+    verts = scale_points(verts, scale=scale)
     return Mesh(verts, mesh.faces)
