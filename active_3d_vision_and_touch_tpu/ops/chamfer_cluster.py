@@ -23,6 +23,15 @@ prunes the O(N·M) sweep with spatial locality:
 Work drops from N·M to N·(T·S + C) (e.g. 30k x 30k → ~10x less at the
 default S=128, T=24).  At those defaults the found neighbors matched brute
 force exactly on procedural surface clouds (tests).
+
+Measured on v5e (round 1): the kernel compiles and the 10x work reduction
+is real, but end-to-end it is ~2x SLOWER than the exact kernel (286 ms vs
+153 ms fwd at 16x30k^2) — the XLA selection prep dominates: the per-query
+(B, N, C) bound matrix and its one-hot vote histogram materialize ~0.5 GB
+and the per-chunk DMA double buffer leaves the VPU idle between small
+(256x128) tiles.  Round-2 plan (ROADMAP): fuse the vote/selection into a
+Pallas prologue, raise S, and deepen the DMA pipeline.  Until then the
+exact kernel stays the default everywhere (config ``loss_nn="exact"``).
 Exactness is not guaranteed in the worst case — the exact kernel remains
 the default for scoring; this one is the training-loss accelerator.
 """
@@ -85,20 +94,25 @@ def _edge_pad_points(x, mult):
 def _nn_kernel(chunk_ids_ref, x_ref, y_hbm, d_ref, i_ref, scratch, sems):
     """One query tile: scan its T prefetched reference chunks.
 
-    chunk_ids_ref: (B, n_tiles, T) int32 scalar-prefetch; x_ref (1, 3, TN)
-    VMEM; y_hbm (B, C*S, 3) stays in HBM; scratch (2, S, 3) VMEM double
-    buffer; d/i (1, 1, TN) outputs.
+    chunk_ids_ref: (B, n_tiles, T) int32 scalar-prefetch; x_ref (1, TN, 3)
+    VMEM; y_hbm (B, C*8, S): chunk c occupies rows [8c, 8c+8) — the chunk's
+    S points stored transposed (rows 0..2 = x/y/z planes, rows 3..7 pad)
+    so manual DMA slices are sublane-aligned (Mosaic rejects slicing a
+    3-wide trailing dim).  scratch (2, 8, S) double buffer; d/i
+    (1, TN, 1) outputs — the (TN, S) distance layout keeps the min-reduce
+    on lanes and the per-query results on sublanes, with no transposes.
     """
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_chunks = chunk_ids_ref.shape[2]
-    s = scratch.shape[1]
-    x = x_ref[0]  # (3, TN)
+    s = scratch.shape[2]
+    x = x_ref[0]  # (TN, 3)
+    tn = x.shape[0]
 
     def chunk_dma(slot, j):
         cid = chunk_ids_ref[b, t, j]
         return pltpu.make_async_copy(
-            y_hbm.at[b, pl.ds(cid * s, s), :],
+            y_hbm.at[b, pl.ds(cid * 8, 8), :],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -114,19 +128,21 @@ def _nn_kernel(chunk_ids_ref, x_ref, y_hbm, d_ref, i_ref, scratch, sems):
             chunk_dma((j + 1) % 2, j + 1).start()
 
         chunk_dma(slot, j).wait()
-        y = scratch[slot]  # (S, 3)
-        dist = jnp.zeros((s, x.shape[1]), jnp.float32)
+        y = scratch[slot]  # (8, S); rows 0..2 are coordinate planes
+        dist = jnp.zeros((tn, s), jnp.float32)
         for c in range(3):
-            diff = y[:, c : c + 1] - x[c : c + 1, :]
+            diff = x[:, c : c + 1] - y[c : c + 1, :]
             dist = dist + diff * diff
-        local_d = jnp.min(dist, axis=0, keepdims=True)  # (1, TN)
+        local_d = jnp.min(dist, axis=1, keepdims=True)  # (TN, 1)
         base = chunk_ids_ref[b, t, j] * s
-        local_i = jnp.argmin(dist, axis=0).reshape(1, -1).astype(jnp.int32) + base
+        local_i = (
+            jnp.argmin(dist, axis=1).reshape(-1, 1).astype(jnp.int32) + base
+        )
         better = local_d < d_best
         return jnp.where(better, local_d, d_best), jnp.where(better, local_i, i_best)
 
-    d0 = jnp.full((1, x.shape[1]), 1e30, jnp.float32)
-    i0 = jnp.zeros((1, x.shape[1]), jnp.int32)
+    d0 = jnp.full((tn, 1), 1e30, jnp.float32)
+    i0 = jnp.zeros((tn, 1), jnp.int32)
     d, i = jax.lax.fori_loop(0, n_chunks, body, (d0, i0))
     d_ref[0] = d
     i_ref[0] = i
@@ -172,26 +188,30 @@ def _nn_clustered_sorted(
     _, chunk_ids = jax.lax.top_k(score, t_sel)  # (B, nt, T)
     chunk_ids = chunk_ids.astype(jnp.int32)
 
-    xt = jnp.transpose(xs, (0, 2, 1))  # (B, 3, Np)
+    # pack chunks transposed: (B, C, S, 3) → (B, C, 8, S) → (B, C*8, S)
+    y_packed = jnp.transpose(y_chunks, (0, 1, 3, 2))  # (B, C, 3, S)
+    y_packed = jnp.pad(y_packed, ((0, 0), (0, 0), (0, 5), (0, 0)))
+    y_packed = y_packed.reshape(b, c * 8, chunk_size)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, _TN), lambda b_, t_, *_: (b_, 0, t_), memory_space=pltpu.VMEM
+                (1, _TN, 3), lambda b_, t_, *_: (b_, t_, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # y stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed y stays in HBM
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, _TN), lambda b_, t_, *_: (b_, 0, t_), memory_space=pltpu.VMEM
+                (1, _TN, 1), lambda b_, t_, *_: (b_, t_, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, _TN), lambda b_, t_, *_: (b_, 0, t_), memory_space=pltpu.VMEM
+                (1, _TN, 1), lambda b_, t_, *_: (b_, t_, 0), memory_space=pltpu.VMEM
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_size, 3), jnp.float32),
+            pltpu.VMEM((2, 8, chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -199,12 +219,12 @@ def _nn_clustered_sorted(
         _nn_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),
+            jax.ShapeDtypeStruct((b, np_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, np_, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(chunk_ids, xt, ys)
-    return d[:, 0], i[:, 0]
+    )(chunk_ids, xs, y_packed)
+    return d[..., 0], i[..., 0]
 
 
 def min_dists_clustered(
