@@ -127,7 +127,7 @@ def test_extract_surface_points(obj):
     assert pts.shape == (2000, 3)
     # points hug the surface: close to some vertex
     d = np.linalg.norm(pts[:, None] - obj.verts[None], axis=-1).min(1)
-    assert np.quantile(d, 0.9) < 0.02
+    assert np.quantile(d, 0.9) < 0.025  # 64^3 carve: ~2 voxel cells
     # aligned extents
     assert np.allclose(pts.max(0), obj.verts.max(0), atol=0.02)
     assert np.allclose(pts.min(0), obj.verts.min(0), atol=0.02)
