@@ -24,14 +24,15 @@ Work drops from N·M to N·(T·S + C) (e.g. 30k x 30k → ~10x less at the
 default S=128, T=24).  At those defaults the found neighbors matched brute
 force exactly on procedural surface clouds (tests).
 
-Measured on v5e (round 1): the kernel compiles and the 10x work reduction
-is real, but end-to-end it is ~2x SLOWER than the exact kernel (286 ms vs
-153 ms fwd at 16x30k^2) — the XLA selection prep dominates: the per-query
-(B, N, C) bound matrix and its one-hot vote histogram materialize ~0.5 GB
-and the per-chunk DMA double buffer leaves the VPU idle between small
-(256x128) tiles.  Round-2 plan (ROADMAP): fuse the vote/selection into a
-Pallas prologue, raise S, and deepen the DMA pipeline.  Until then the
-exact kernel stays the default everywhere (config ``loss_nn="exact"``).
+Measured on v5e (round 1), 16 x 30k x 30k, vs the exact kernel:
+153 → 135 ms fwd, 181 → 155 ms grad (~15% faster) after rewriting the
+selection prep to stream per tile (the first version materialized a
+0.5 GB bound/vote buffer and was 2x *slower*).  The 10x work reduction is
+not yet realized because (a) per-chunk DMA latency dominates the tiny
+(256x128) compute tiles and (b) the per-tile selection map is sequential.
+Round-2 plan (ROADMAP): deeper DMA pipelining (4-deep prefetch), batched
+tile selection, two-level candidate filtering.  Until the win is decisive
+the exact kernel stays the default (config ``loss_nn="exact"``).
 Exactness is not guaranteed in the worst case — the exact kernel remains
 the default for scoring; this one is the training-loss accelerator.
 """
@@ -165,28 +166,43 @@ def _nn_clustered_sorted(
     # queries can straddle a Z-curve discontinuity, so a tile-centroid
     # heuristic misses the minority side badly.  Instead every query ranks
     # all chunks by the lower bound ||q - chunk_c|| - chunk_r, votes for
-    # its top-2, and the tile scans the T most-voted chunks (vote counts
-    # tie-broken toward chunks near the tile centroid).
+    # its top-3, and the tile scans the T most-voted chunks (vote counts
+    # tie-broken toward chunks near the tile centroid).  Processed one
+    # tile at a time under lax.map so the (N, C) bound matrix and vote
+    # one-hots never materialize (a (16, 30k, 236) f32 buffer is ~0.5 GB
+    # and dominated the end-to-end time when materialized).
     y_chunks = ys.reshape(b, c, chunk_size, 3)
     chunk_c = jnp.mean(y_chunks, axis=2)  # (B, C, 3)
     chunk_r = jnp.sqrt(
         jnp.max(jnp.sum((y_chunks - chunk_c[:, :, None, :]) ** 2, axis=-1), axis=2)
     )  # (B, C)
-    q_dist = jnp.sqrt(
-        jnp.sum((xs[:, :, None, :] - chunk_c[:, None, :, :]) ** 2, axis=-1)
-    )  # (B, Np, C)
-    q_bound = q_dist - chunk_r[:, None, :]
-    _, q_top = jax.lax.top_k(-q_bound, min(3, c))  # (B, Np, 3)
-    votes = jax.nn.one_hot(q_top, c, dtype=jnp.float32).sum(axis=2)  # (B, Np, C)
-    tile_votes = votes.reshape(b, n_tiles, _TN, c).sum(axis=2)  # (B, nt, C)
 
-    tile_c = jnp.mean(xs.reshape(b, n_tiles, _TN, 3), axis=2)  # (B, nt, 3)
-    tile_bound = jnp.sqrt(
-        jnp.sum((tile_c[:, :, None, :] - chunk_c[:, None, :, :]) ** 2, axis=-1)
-    ) - chunk_r[:, None, :]
-    score = tile_votes + 1.0 / (1.0 + jnp.maximum(tile_bound, 0.0))
-    _, chunk_ids = jax.lax.top_k(score, t_sel)  # (B, nt, T)
-    chunk_ids = chunk_ids.astype(jnp.int32)
+    x_tiles = jnp.moveaxis(xs.reshape(b, n_tiles, _TN, 3), 1, 0)  # (nt, B, TN, 3)
+    k_vote = min(3, c)
+
+    def tile_select(x_tile):  # (B, TN, 3)
+        q_bound = (
+            jnp.sqrt(
+                jnp.sum(
+                    (x_tile[:, :, None, :] - chunk_c[:, None, :, :]) ** 2, axis=-1
+                )
+            )
+            - chunk_r[:, None, :]
+        )  # (B, TN, C)
+        _, q_top = jax.lax.top_k(-q_bound, k_vote)  # (B, TN, k)
+        votes = jnp.zeros((b, c), jnp.float32)
+        votes = jax.vmap(lambda v, idx: v.at[idx.reshape(-1)].add(1.0))(
+            votes, q_top
+        )  # (B, C)
+        tile_c = jnp.mean(x_tile, axis=1)  # (B, 3)
+        tile_bound = (
+            jnp.sqrt(jnp.sum((tile_c[:, None, :] - chunk_c) ** 2, axis=-1)) - chunk_r
+        )
+        score = votes + 1.0 / (1.0 + jnp.maximum(tile_bound, 0.0))
+        _, ids = jax.lax.top_k(score, t_sel)  # (B, T)
+        return ids.astype(jnp.int32)
+
+    chunk_ids = jnp.moveaxis(jax.lax.map(tile_select, x_tiles), 0, 1)  # (B, nt, T)
 
     # pack chunks transposed: (B, C, S, 3) → (B, C, 8, S) → (B, C*8, S)
     y_packed = jnp.transpose(y_chunks, (0, 1, 3, 2))  # (B, C, 3, S)
