@@ -30,9 +30,12 @@ selection prep to stream per tile (the first version materialized a
 0.5 GB bound/vote buffer and was 2x *slower*).  The 10x work reduction is
 not yet realized because (a) per-chunk DMA latency dominates the tiny
 (256x128) compute tiles and (b) the per-tile selection map is sequential.
-Round-2 plan (ROADMAP): deeper DMA pipelining (4-deep prefetch), batched
-tile selection, two-level candidate filtering.  Until the win is decisive
-the exact kernel stays the default (config ``loss_nn="exact"``).
+A 4-deep DMA pipeline changed nothing (135.2 vs 135.3 ms) — the kernel
+is not DMA-bound; the remaining ~90 ms lives in the XLA prep (Morton
+argsorts, the sequential per-tile selection map, packing gathers).
+Round-2 plan (ROADMAP): batch the tile selection, fuse it into a Pallas
+prologue, reuse sort results across the two directions.  Until the win is
+decisive the exact kernel stays the default (config ``loss_nn="exact"``).
 Exactness is not guaranteed in the worst case — the exact kernel remains
 the default for scoring; this one is the training-loss accelerator.
 """
@@ -118,15 +121,18 @@ def _nn_kernel(chunk_ids_ref, x_ref, y_hbm, d_ref, i_ref, scratch, sems):
             sems.at[slot],
         )
 
-    chunk_dma(0, 0).start()
+    n_buf = scratch.shape[0]
+    for w in range(n_buf - 1):
+        if w < chunk_ids_ref.shape[2]:
+            chunk_dma(w % n_buf, w).start()
 
     def body(j, carry):
         d_best, i_best = carry
-        slot = j % 2
+        slot = j % n_buf
 
-        @pl.when(j + 1 < n_chunks)
+        @pl.when(j + n_buf - 1 < n_chunks)
         def _():
-            chunk_dma((j + 1) % 2, j + 1).start()
+            chunk_dma((j + n_buf - 1) % n_buf, j + n_buf - 1).start()
 
         chunk_dma(slot, j).wait()
         y = scratch[slot]  # (8, S); rows 0..2 are coordinate planes
@@ -227,8 +233,8 @@ def _nn_clustered_sorted(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 8, chunk_size), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, 8, chunk_size), jnp.float32),  # 4-deep DMA pipeline
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     d, i = pl.pallas_call(
