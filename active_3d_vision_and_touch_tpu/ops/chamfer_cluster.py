@@ -208,6 +208,8 @@ def _nn_clustered_sorted(
         _, ids = jax.lax.top_k(score, t_sel)  # (B, T)
         return ids.astype(jnp.int32)
 
+    # measured: grouping tiles under a vmapped top_k is slightly slower
+    # than the plain sequential map (144 vs 135 ms end to end) — keep simple
     chunk_ids = jnp.moveaxis(jax.lax.map(tile_select, x_tiles), 0, 1)  # (B, nt, T)
 
     # pack chunks transposed: (B, C, S, 3) → (B, C, 8, S) → (B, C*8, S)
