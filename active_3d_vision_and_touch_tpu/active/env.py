@@ -164,7 +164,23 @@ class ActiveTouchEnv:
             for i in range(b):
                 unseen = np.nonzero(self.current["mask"][i] == 0)[0]
                 k = min(greedy_checks, len(unseen))
-                candidates[i] = self._greedy_rng.choice(unseen, size=k, replace=False)
+                row = (
+                    self._greedy_rng.choice(unseen, size=k, replace=False)
+                    if k
+                    else np.empty(0, int)
+                )
+                if k < greedy_checks:
+                    # fewer unseen actions than probe slots (long budgets /
+                    # small action spaces): pad with already-tried actions —
+                    # they can never win because the scoring loop below
+                    # requires mask == 0
+                    seen = np.nonzero(self.current["mask"][i] != 0)[0]
+                    pool = seen if len(seen) else np.arange(c.num_actions)
+                    pad = self._greedy_rng.choice(
+                        pool, size=greedy_checks - k, replace=True
+                    )
+                    row = np.concatenate([row, pad])
+                candidates[i] = row
 
         best_action = np.zeros(b, int)
         best_score = np.full(b, np.inf)

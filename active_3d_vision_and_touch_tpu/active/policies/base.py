@@ -40,6 +40,16 @@ def load_frozen_models(config: PolicyConfig):
 
     vision_cfg = load_config(config.vision_location, VisionConfig)
     vision_cfg.eval = True
+    # the frozen vision checkpoint defines the reconstruction architecture
+    # and setting; sync those fields into the policy config so the env
+    # rebuilds the exact model the params were trained for (a CLI flag
+    # mismatch otherwise fails deep inside flax apply)
+    for field in (
+        "use_img", "use_touch", "finger", "num_grasps", "num_gcn_layers",
+        "hidden_gcn_size", "cut", "num_cnn_blocks", "layers_per_block",
+        "cnn_kernel",
+    ):
+        setattr(config, field, getattr(vision_cfg, field))
     vision_engine = VisionEngine(vision_cfg, log=False)
     template = vision_engine.init_state(jax.random.PRNGKey(0))
     vision_state = (
@@ -63,11 +73,12 @@ def load_frozen_models(config: PolicyConfig):
             np.zeros((1, v, 1), np.float32),
             vision_engine.adj,
         )
-        template = {"params": variables["params"]}
-        auto_state = (
-            CheckpointManager(config.auto_location).restore(template, "best")
-            or template
-        )
+        # the saved autoencoder checkpoint is a full train state (params +
+        # optimizer + step); restore raw and keep only the frozen params
+        raw = CheckpointManager(config.auto_location).restore_raw("best")
+        auto_state = {
+            "params": raw["params"] if raw is not None else variables["params"]
+        }
     return touch_state, vision_state, auto_model, auto_state
 
 

@@ -100,7 +100,13 @@ class SupervisedEngine(PolicyEngine):
         for v, batch in enumerate(self.loader("RL_train")):
             if max_batches is not None and v >= max_batches:
                 break
-            obs = self.env.reset(batch)
+            try:
+                obs = self.env.reset(batch)
+            except Exception as e:  # noqa: BLE001 — poison-object guard
+                # one degenerate object must not abort a training sweep
+                # (reference supervised/train.py:112-114 does the same)
+                print(f"skipping batch {v} ({batch.get('names')}): {e}")
+                continue
             prev_actions: list[np.ndarray] = []
             for i in range(step):
                 acts = np.argmin(self._values(i, obs, prev_actions), axis=1)

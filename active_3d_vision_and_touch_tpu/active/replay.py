@@ -70,9 +70,11 @@ class ReplayMemory:
     def sample(self) -> dict | None:
         if self.count_seen < max(self.burn_in, self.batch_size):
             return None
-        idx = self.rng.choice(
-            min(self.count_seen, self.capacity), self.batch_size
-        )
+        # distinct transitions per batch, like the reference's sampler
+        # (policies/replay.py:69-95) — with a 300-slot buffer and batch 16,
+        # with-replacement draws duplicate often enough to bias updates
+        n = min(self.count_seen, self.capacity)
+        idx = self.rng.choice(n, self.batch_size, replace=n < self.batch_size)
         return {k: v[idx] for k, v in self.data.items()}
 
     def save(self, directory: str) -> None:

@@ -261,6 +261,7 @@ class Loader:
         drop_last: bool = True,
         prefetch: int = 2,
         num_threads: int = 4,
+        process_shard: tuple[int, int] | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -269,11 +270,23 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_threads = num_threads
+        # (process_index, process_count): multi-host data sharding — every
+        # process draws the same seeded global order, then keeps a disjoint
+        # strided slice, so per-host batches assemble into the global batch
+        # (parallel/mesh.py shard_batch) with no duplication
+        self.process_shard = process_shard
         self._epoch = 0
 
+    def _local_len(self):
+        n = len(self.dataset)
+        if self.process_shard is not None:
+            idx, count = self.process_shard
+            n = (n - idx + count - 1) // count
+        return n
+
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = self._local_len() // self.batch_size
+        if not self.drop_last and self._local_len() % self.batch_size:
             n += 1
         return n
 
@@ -281,6 +294,9 @@ class Loader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        if self.process_shard is not None:
+            idx, count = self.process_shard
+            order = order[idx::count]
         self._epoch += 1
         batches = [
             order[i : i + self.batch_size]

@@ -233,7 +233,8 @@ def chamfer_distance_sharded(
     size; returns (B,) replicated.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    shard_map = jax.shard_map
 
     n_dev = mesh.shape[axis]
     m = y.shape[1]
@@ -282,8 +283,14 @@ def mesh_chamfer_distance(
     else:
         cd_fn = lambda a, b: chamfer_distance(a, b, use_pallas)  # noqa: E731
 
-    cds = []
-    for k in jax.random.split(key, repeat):
-        pred = batch_sample(verts, faces, k, num=num)
-        cds.append(cd_fn(pred, gt_points))
-    return jnp.mean(jnp.stack(cds), axis=0)
+    # the `repeat` independent samplings fold onto the batch axis: ONE
+    # kernel launch over (repeat*B) instead of a sequential Python loop of
+    # `repeat` launches (more grid parallelism, amortized NN prep).  The
+    # tiled gt needs no VJP plumbing — autodiff of the tile sums the
+    # repeat contributions (and gt is not differentiated in training).
+    b = verts.shape[0]
+    preds = jnp.concatenate(
+        [batch_sample(verts, faces, k, num=num) for k in jax.random.split(key, repeat)]
+    )  # (repeat*B, num, 3)
+    gt_t = jnp.tile(gt_points, (repeat, 1, 1))
+    return jnp.mean(cd_fn(preds, gt_t).reshape(repeat, b), axis=0)

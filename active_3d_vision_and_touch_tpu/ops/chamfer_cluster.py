@@ -177,6 +177,11 @@ def _nn_clustered_sorted(
     # tile at a time under lax.map so the (N, C) bound matrix and vote
     # one-hots never materialize (a (16, 30k, 236) f32 buffer is ~0.5 GB
     # and dominated the end-to-end time when materialized).
+    #
+    # Votes are gathered with k iterated argmin+mask passes and one-hot
+    # compare-sums instead of a per-query top_k + scatter-add (top_k over
+    # the chunk axis lowers to a sort, and the scatter serializes; argmin
+    # and broadcast-compare are plain VPU reductions).
     y_chunks = ys.reshape(b, c, chunk_size, 3)
     chunk_c = jnp.mean(y_chunks, axis=2)  # (B, C, 3)
     chunk_r = jnp.sqrt(
@@ -185,6 +190,7 @@ def _nn_clustered_sorted(
 
     x_tiles = jnp.moveaxis(xs.reshape(b, n_tiles, _TN, 3), 1, 0)  # (nt, B, TN, 3)
     k_vote = min(3, c)
+    chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
 
     def tile_select(x_tile):  # (B, TN, 3)
         q_bound = (
@@ -195,21 +201,21 @@ def _nn_clustered_sorted(
             )
             - chunk_r[:, None, :]
         )  # (B, TN, C)
-        _, q_top = jax.lax.top_k(-q_bound, k_vote)  # (B, TN, k)
         votes = jnp.zeros((b, c), jnp.float32)
-        votes = jax.vmap(lambda v, idx: v.at[idx.reshape(-1)].add(1.0))(
-            votes, q_top
-        )  # (B, C)
+        for _ in range(k_vote):
+            onehot = (
+                jnp.argmin(q_bound, axis=-1)[:, :, None] == chunk_iota
+            )  # (B, TN, C)
+            votes = votes + jnp.sum(onehot, axis=1, dtype=jnp.float32)
+            q_bound = jnp.where(onehot, jnp.inf, q_bound)
         tile_c = jnp.mean(x_tile, axis=1)  # (B, 3)
         tile_bound = (
             jnp.sqrt(jnp.sum((tile_c[:, None, :] - chunk_c) ** 2, axis=-1)) - chunk_r
         )
         score = votes + 1.0 / (1.0 + jnp.maximum(tile_bound, 0.0))
-        _, ids = jax.lax.top_k(score, t_sel)  # (B, T)
+        _, ids = jax.lax.top_k(score, t_sel)  # (B, T) — small, C-wide only
         return ids.astype(jnp.int32)
 
-    # measured: grouping tiles under a vmapped top_k is slightly slower
-    # than the plain sequential map (144 vs 135 ms end to end) — keep simple
     chunk_ids = jnp.moveaxis(jax.lax.map(tile_select, x_tiles), 0, 1)  # (B, nt, T)
 
     # pack chunks transposed: (B, C, S, 3) → (B, C, 8, S) → (B, C*8, S)
@@ -224,7 +230,7 @@ def _nn_clustered_sorted(
             pl.BlockSpec(
                 (1, _TN, 3), lambda b_, t_, *_: (b_, t_, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed y stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # packed y stays in HBM
         ],
         out_specs=[
             pl.BlockSpec(
@@ -251,31 +257,11 @@ def _nn_clustered_sorted(
     return d[..., 0], i[..., 0]
 
 
-def min_dists_clustered(
-    x: jnp.ndarray,
-    y: jnp.ndarray,
-    chunk_size: int = 128,
-    chunks_per_tile: int = 24,
-    interpret: bool | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(B,N,3),(B,M,3) → per-query (B,N) exact squared distance to the
-    found neighbor and its index into the ORIGINAL y ordering."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _unscramble(i_sorted, xperm, yperm, x, y):
+    """Sorted-frame NN indices → original-frame (distance, index)."""
     b, n, _ = x.shape
     m = y.shape[1]
-
-    xs, xperm = _sort_by_morton(x)
-    ys, yperm = _sort_by_morton(y)
-    xs = _edge_pad_points(xs, _TN)
-    ys = _edge_pad_points(ys, chunk_size)
-
-    _, i_sorted = _nn_clustered_sorted(
-        xs, ys, chunk_size, chunks_per_tile, interpret
-    )
-    i_sorted = i_sorted[:, :n]
-    # positions in sorted-y → original indices; un-pad by clipping
-    i_sorted = jnp.clip(i_sorted, 0, m - 1)
+    i_sorted = jnp.clip(i_sorted[:, :n], 0, m - 1)
     i_orig_for_sorted_x = jnp.take_along_axis(yperm, i_sorted, axis=1)
     # re-scatter to the original x order
     i_orig = jnp.zeros((b, n), jnp.int32)
@@ -288,6 +274,51 @@ def min_dists_clustered(
     return d, i_orig
 
 
+def min_dists_clustered(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    chunk_size: int = 128,
+    chunks_per_tile: int = 24,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B,N,3),(B,M,3) → per-query (B,N) exact squared distance to the
+    found neighbor and its index into the ORIGINAL y ordering."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    xs, xperm = _sort_by_morton(x)
+    ys, yperm = _sort_by_morton(y)
+    xs = _edge_pad_points(xs, _TN)
+    ys = _edge_pad_points(ys, chunk_size)
+
+    _, i_sorted = _nn_clustered_sorted(
+        xs, ys, chunk_size, chunks_per_tile, interpret
+    )
+    return _unscramble(i_sorted, xperm, yperm, x, y)
+
+
+def _pair_min_dists(x, y, chunk_size, chunks_per_tile, interpret=None):
+    """Both sweep directions off ONE Morton sort per cloud (the symmetric
+    CD needs each cloud in both the query and the reference role; sorting
+    twice per direction was ~2x the sort cost for identical results)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert _TN % chunk_size == 0, (
+        f"chunk_size {chunk_size} must divide the query tile {_TN} so one "
+        "padding serves both roles"
+    )
+    xs, xperm = _sort_by_morton(x)
+    ys, yperm = _sort_by_morton(y)
+    xs = _edge_pad_points(xs, _TN)
+    ys = _edge_pad_points(ys, _TN)
+
+    _, ix_s = _nn_clustered_sorted(xs, ys, chunk_size, chunks_per_tile, interpret)
+    _, iy_s = _nn_clustered_sorted(ys, xs, chunk_size, chunks_per_tile, interpret)
+    dx, ix = _unscramble(ix_s, xperm, yperm, x, y)
+    dy, iy = _unscramble(iy_s, yperm, xperm, y, x)
+    return (dx, ix), (dy, iy)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def chamfer_distance_clustered(
     x: jnp.ndarray,
@@ -297,14 +328,12 @@ def chamfer_distance_clustered(
 ):
     """Symmetric Chamfer distance via the pruned NN search (training-loss
     accelerator; use :func:`ops.chamfer.chamfer_distance` for scoring)."""
-    dx, _ = min_dists_clustered(x, y, chunk_size, chunks_per_tile)
-    dy, _ = min_dists_clustered(y, x, chunk_size, chunks_per_tile)
+    (dx, _), (dy, _) = _pair_min_dists(x, y, chunk_size, chunks_per_tile)
     return jnp.mean(dx, axis=1) + jnp.mean(dy, axis=1)
 
 
 def _fwd(x, y, chunk_size, chunks_per_tile):
-    dx, ix = min_dists_clustered(x, y, chunk_size, chunks_per_tile)
-    dy, iy = min_dists_clustered(y, x, chunk_size, chunks_per_tile)
+    (dx, ix), (dy, iy) = _pair_min_dists(x, y, chunk_size, chunks_per_tile)
     return jnp.mean(dx, axis=1) + jnp.mean(dy, axis=1), (x, y, ix, iy)
 
 

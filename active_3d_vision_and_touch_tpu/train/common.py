@@ -76,6 +76,14 @@ class CheckpointManager:
             return None
         return self._ckpt.restore(path, item=jax.device_get(template))
 
+    def restore_raw(self, name: str = "recent"):
+        """Restore the saved pytree as-is (no template) — for consumers that
+        only need a sub-tree (e.g. frozen params out of a full train state)."""
+        path = self._slot(name)
+        if not os.path.exists(path):
+            return None
+        return self._ckpt.restore(path)
+
     def meta(self) -> dict | None:
         path = os.path.join(self.directory, "state.json")
         if not os.path.exists(path):

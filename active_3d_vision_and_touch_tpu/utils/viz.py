@@ -90,6 +90,31 @@ def render_points_image(points: np.ndarray, size: int = 256) -> np.ndarray:
     return img
 
 
+def debug_projection_overlay(
+    image: np.ndarray, verts: np.ndarray, out_path: str | None = None
+) -> np.ndarray:
+    """Splat projected mesh vertices onto a rendered scene image to verify
+    the camera matrix the projection pooling uses (reference
+    ``reconstruction/vision/model.py:105-145`` ``debug_pooling``).  If the
+    red dots sit on the object silhouette, the pooling grid samples the
+    right pixels; a shifted/flipped overlay exposes a camera mismatch
+    immediately.  Cheap insurance even with the shared-camera design —
+    ``core/camera.py`` is the single source the renderer AND the model
+    pool through."""
+    img = np.asarray(image).copy()
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    size = img.shape[0]
+    cam = PinholeCamera()
+    uvz = cam.project(np.asarray(verts).reshape(-1, 3))
+    u = np.clip(uvz[:, 0].astype(int), 0, size - 1)
+    v = np.clip(uvz[:, 1].astype(int), 0, size - 1)
+    img[v, u] = (255, 0, 0)
+    if out_path is not None:
+        _save_png(out_path, img)
+    return img
+
+
 def visualize_prediction(
     location: str,
     meshes: np.ndarray,  # (B, V, 3) predicted vertices

@@ -130,6 +130,19 @@ def test_env_best_step_beats_worst(world):
     assert (env.current["mask"].sum(1) == 1).all()
 
 
+def test_best_step_more_checks_than_unseen(world):
+    """Regression: greedy probe rows must pad when fewer unseen actions
+    remain than greedy_checks (previously a ValueError on row assignment)."""
+    tmp, config, env, batch = world
+    env.reset(batch)
+    env.current["mask"][:, :-2] = 1  # only 2 actions left unseen
+    unseen_before = np.nonzero(env.current["mask"][0] == 0)[0]
+    actions, obs, reward, done = env.best_step(greedy_checks=5)
+    assert actions.shape == (B,)
+    for a in actions:
+        assert int(a) in unseen_before  # padding can never win
+
+
 def test_samplers_never_repeat():
     mask = np.zeros((3, 50))
     rs = RandomSampler(50, seed=0)
@@ -176,6 +189,53 @@ def test_replay_roundtrip(tmp_path):
     assert mem2.load(str(tmp_path))
     assert mem2.count_seen == 12
     assert np.array_equal(mem2.data["actions"], mem.data["actions"])
+
+
+def test_replay_sample_without_replacement():
+    """Regression: batches must hold distinct transitions (reference
+    policies/replay.py:69-95); with-replacement draws from a small buffer
+    duplicate often enough to bias updates."""
+    mem = ReplayMemory(capacity=8, num_actions=10, batch_size=8, burn_in=2)
+    obs = {
+        "score": np.zeros(1),
+        "first_score": np.zeros(1),
+        "mask": np.zeros((1, 10)),
+    }
+    for a in range(8):
+        mem.push(np.array([a]), obs, obs, np.zeros(1))
+    for _ in range(10):
+        batch = mem.sample()
+        assert sorted(batch["actions"]) == list(range(8))
+
+
+def test_supervised_poison_object_guard(world):
+    """Regression: one bad object must not abort a supervised sweep
+    (reference supervised/train.py:112-114)."""
+    tmp, config, env, batch = world
+    from active_3d_vision_and_touch_tpu.active.policies.supervised import (
+        SupervisedEngine,
+    )
+
+    cfg = small_policy_config(
+        tmp, use_latent=True, exp_id="sup_poison", budget=2, hidden_dim=16,
+        layers=2, training_actions=2,
+    )
+    sup = SupervisedEngine(cfg, data_root=tmp, env=env)
+    real_reset = env.reset
+    calls = {"n": 0}
+
+    def poisoned_reset(b):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("degenerate object")
+        return real_reset(b)
+
+    env.reset = poisoned_reset
+    try:
+        loss = sup.train_step_level(0, max_batches=2)
+    finally:
+        env.reset = real_reset
+    assert calls["n"] >= 1  # the poison batch was hit and skipped
 
 
 def test_policy_engines_smoke(world):

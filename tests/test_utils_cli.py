@@ -6,6 +6,7 @@ from active_3d_vision_and_touch_tpu.core import touch_chart, vision_charts
 from active_3d_vision_and_touch_tpu.sim.tacto import TactoRenderer
 from active_3d_vision_and_touch_tpu.utils.profiler import StepTimer, trace
 from active_3d_vision_and_touch_tpu.utils.viz import (
+    debug_projection_overlay,
     render_mesh_image,
     render_points_image,
     visualize_actions,
@@ -47,6 +48,23 @@ def test_visualize_prediction(tmp_path):
     )
     assert os.path.exists(os.path.join(dirs[0], "prediction.png"))
     assert os.path.exists(os.path.join(dirs[0], "ground_truth_points.png"))
+
+
+def test_debug_projection_overlay(tmp_path):
+    """Projected vertices must land on the rendered object's silhouette —
+    the renderer and the pooling share core/camera.py, so the red overlay
+    pixels should hit non-background pixels of the render."""
+    atlas = vision_charts()
+    img = render_mesh_image(atlas.verts, atlas.faces)
+    out_path = str(tmp_path / "overlay.png")
+    overlay = debug_projection_overlay(img, atlas.verts, out_path)
+    assert os.path.exists(out_path)
+    red = np.all(overlay == (255, 0, 0), axis=-1)
+    assert red.any()
+    # the verts project inside the object: at overlay-red positions the
+    # original render must mostly be foreground (not the white background)
+    fg = ~np.all(img >= 250, axis=-1)
+    assert (fg[red].mean()) > 0.9
 
 
 def test_tacto_renderer():
