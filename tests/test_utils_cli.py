@@ -79,6 +79,25 @@ def test_tacto_renderer():
     assert np.abs(img[25:35, 25:35] - flat[25:35, 25:35]).mean() > 1.0
 
 
+def test_tacto_calibration_pipeline():
+    """Reference _calibrate semantics: an empty frame reproduces the
+    background exactly (diff = 0), and a supplied real background is what
+    contacts composite over."""
+    r = TactoRenderer(resolution=61, max_depth=0.015, seed=0)
+    empty = r.render(np.zeros((61, 61)), noise=False)
+    assert np.abs(empty - r._background_real).max() < 1e-3
+
+    real_bg = np.full((61, 61, 3), 42.0, np.float32)
+    r2 = TactoRenderer(resolution=61, max_depth=0.015, seed=0,
+                       background_real=real_bg)
+    empty2 = r2.render(np.zeros((61, 61)), noise=False)
+    assert np.abs(empty2 - 42.0).max() < 1e-3  # composites over the photo
+    d = np.zeros((61, 61))
+    d[25:35, 25:35] = 0.004
+    touched = r2.render(d, noise=False)
+    assert np.abs(touched - empty2).max() > 5.0
+
+
 def test_profiler_noop_and_timer():
     with trace("unit"):  # disabled: no env var
         pass
