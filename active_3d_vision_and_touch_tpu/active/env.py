@@ -72,6 +72,14 @@ class ActiveTouchEnv:
         self._mask_shape = (b, f, g, 25, 1)
         self.current: dict = {}
 
+        # (object name, action) → (charts (nf,25,3), mask codes (nf,)).
+        # The host simulator is deterministic per (object, action), so
+        # oracle sweeps (greedy/MFBA/LEBA probe the same pairs across steps
+        # and epochs) are pure cache hits — the reference pays the full
+        # 50x per-step sim cost every time (environment.py:167-213).
+        self._sig_cache: dict = {}
+        self._sig_cache_cap = 200_000
+
         self._predict_touch = jax.jit(self._predict_touch_impl)
         self._reconstruct = jax.jit(self._reconstruct_impl)
 
@@ -184,9 +192,18 @@ class ActiveTouchEnv:
 
         best_action = np.zeros(b, int)
         best_score = np.full(b, np.inf)
-        for j in range(candidates.shape[1]):
+        k = candidates.shape[1]
+        # software pipeline: the device scores candidate j (async dispatch
+        # — jnp.asarray in _dispatch_obs copies the host chart buffers, so
+        # they are free to be overwritten) while the host simulates
+        # candidate j+1
+        self._apply_signals(candidates[:, 0])
+        for j in range(k):
+            outputs = self._dispatch_obs()
+            if j + 1 < k:
+                self._apply_signals(candidates[:, j + 1])
+            obs = self._finalize_obs(outputs)
             actions = candidates[:, j]
-            obs = self.compute_obs(actions)
             for e in range(b):
                 unseen = self.current["mask"][e][actions[e]] == 0
                 if obs["score"][e] < best_score[e] and unseen:
@@ -207,8 +224,33 @@ class ActiveTouchEnv:
 
     # --------------------------------------------------------------- obs
     def _apply_signals(self, actions) -> None:
-        """Run the sim for ``actions`` and write charts into the current
-        step's slot (idempotent for repeated candidate evaluation)."""
+        """Write the charts for ``actions`` into the current step's slot
+        (idempotent for repeated candidate evaluation).  Runs the host sim
+        + touch CNN only when some (object, action) pair is not already in
+        the signal cache."""
+        c = self.config
+        b = c.env_batch_size
+        actions = np.asarray(actions).reshape(-1)
+        names = self.current["batch"]["names"]
+        keys = [(str(names[i]), int(actions[i])) for i in range(b)]
+
+        if any(k not in self._sig_cache for k in keys):
+            self._simulate_and_cache(actions, keys)
+
+        step = self.steps
+        for i in range(b):
+            charts_i, codes_i, pos_i = self._sig_cache[keys[i]]
+            for jf in range(charts_i.shape[0]):
+                code = codes_i[jf]
+                if code == 2:
+                    self.current["touch_charts"][i, jf, step] = charts_i[jf]
+                elif code == 1:
+                    self.current["touch_charts"][i, jf, step] = pos_i[jf]
+                else:
+                    self.current["touch_charts"][i, jf, step] = 0
+                self.current["touch_masks"][i, jf, step] = code
+
+    def _simulate_and_cache(self, actions, keys) -> None:
         c = self.config
         b = c.env_batch_size
         signals = self.sampler.sample(actions, touch=True)
@@ -225,38 +267,41 @@ class ActiveTouchEnv:
         charts = np.asarray(
             self._predict_touch(jnp.asarray(touch / 255.0), jnp.asarray(pos), jnp.asarray(rot))
         ).reshape(b, nf, 25, 3)
+        pos = pos.reshape(b, nf, 3)
 
-        step = self.steps
-        for i in range(b):
-            for jf, f in enumerate(fingers):
-                status = signals["touch_status"][i][f]
-                if status == "touch":
-                    self.current["touch_charts"][i, jf, step] = charts[i, jf]
-                    self.current["touch_masks"][i, jf, step] = 2
-                elif status == "no_touch":
-                    self.current["touch_charts"][i, jf, step] = pos.reshape(b, nf, 3)[
-                        i, jf
-                    ]
-                    self.current["touch_masks"][i, jf, step] = 1
-                else:
-                    self.current["touch_charts"][i, jf, step] = 0
-                    self.current["touch_masks"][i, jf, step] = 0
+        code_of = {"touch": 2, "no_touch": 1, "no_intersection": 0}
+        if len(self._sig_cache) > self._sig_cache_cap:
+            self._sig_cache.clear()
+        for i, key in enumerate(keys):
+            codes = np.array(
+                [code_of[signals["touch_status"][i][f]] for f in fingers], np.int8
+            )
+            self._sig_cache[key] = (charts[i].copy(), codes, pos[i].copy())
 
-    def compute_obs(self, actions=None) -> dict:
+    def _dispatch_obs(self):
+        """Launch the device pipeline for the CURRENT chart state and return
+        the in-flight device values (jax dispatch is async — the host is
+        free until something converts them to numpy)."""
         c = self.config
-        if actions is not None:
-            self._apply_signals(np.asarray(actions))
-
         batch = self.current["batch"]
         img = jnp.asarray(batch["img"]) if c.use_img else jnp.zeros((1,))
         self.key, sub = jax.random.split(self.key)
-        verts, mask, score, latent = self._reconstruct(
+        return self._reconstruct(
             img,
             jnp.asarray(self.current["touch_charts"][:, : self.num_fingers]),
             jnp.asarray(self.current["touch_masks"][:, : self.num_fingers]),
             jnp.asarray(batch["gt_points"]),
             sub,
         )
+
+    def compute_obs(self, actions=None) -> dict:
+        if actions is not None:
+            self._apply_signals(np.asarray(actions))
+        return self._finalize_obs(self._dispatch_obs())
+
+    def _finalize_obs(self, outputs) -> dict:
+        batch = self.current["batch"]
+        verts, mask, score, latent = outputs
         score = np.asarray(score)
         if self.current["first_score"] is None:
             self.current["first_score"] = score.copy()

@@ -58,8 +58,12 @@ class BaseConfig:
     eval: bool = False
     pretrained: bool = False
     visualize: bool = False
-    # NN search for training losses: "exact" | "clustered" (Morton-pruned)
-    loss_nn: str = "exact"
+    # NN search for training losses: "clustered" (Morton-pruned Pallas
+    # kernel — measured 1.6x faster than "exact" on the 3-repeat 30k-point
+    # loss, neighbor-identical on surface clouds), "exact" (brute-force
+    # Pallas kernel — env scoring always uses this), or "xla" (chunked
+    # brute force, benchmark baseline)
+    loss_nn: str = "clustered"
     experiments_root: str = "experiments"
 
     @property
@@ -84,6 +88,9 @@ class TouchConfig(BaseConfig):
     lr: float = 1e-4
     batch_size: int = 64
     num_samples: int = 4000  # CD sample count
+    # touch charts are tiny (25-vert sheets, 4k-point CDs) — the pruning
+    # prep costs more than the brute-force scan saves at this size
+    loss_nn: str = "exact"
 
 
 @dataclass

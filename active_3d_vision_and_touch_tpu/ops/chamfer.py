@@ -272,7 +272,8 @@ def mesh_chamfer_distance(
 
     Mirrors reference ``utility/utils.py:204-217``.  ``nn="clustered"``
     switches to the Morton-pruned NN search (training-loss accelerator,
-    :mod:`ops.chamfer_cluster`).
+    :mod:`ops.chamfer_cluster`); ``nn="xla"`` forces the chunked XLA
+    brute-force path (benchmark baseline / non-TPU backends).
     """
     from active_3d_vision_and_touch_tpu.ops.sample import batch_sample
 
@@ -280,17 +281,22 @@ def mesh_chamfer_distance(
         from active_3d_vision_and_touch_tpu.ops.chamfer_cluster import (
             chamfer_distance_clustered as cd_fn,
         )
+    elif nn == "xla":
+        cd_fn = lambda a, b: chamfer_distance(a, b, False)  # noqa: E731
     else:
         cd_fn = lambda a, b: chamfer_distance(a, b, use_pallas)  # noqa: E731
 
     # the `repeat` independent samplings fold onto the batch axis: ONE
-    # kernel launch over (repeat*B) instead of a sequential Python loop of
-    # `repeat` launches (more grid parallelism, amortized NN prep).  The
-    # tiled gt needs no VJP plumbing — autodiff of the tile sums the
-    # repeat contributions (and gt is not differentiated in training).
+    # sampling pass of repeat*num iid draws (statistically identical to
+    # `repeat` independent num-draws — the loss is the mean over all of
+    # them either way) and ONE NN launch over (repeat*B), instead of a
+    # sequential Python loop of `repeat` launches.  Shares the face-area
+    # CDF and the sampling backward across repeats (~2/3 of the sampling
+    # cost) and gives the NN kernel more grid parallelism.  The tiled gt
+    # needs no VJP plumbing — autodiff of the tile sums the repeat
+    # contributions (and gt is not differentiated in training).
     b = verts.shape[0]
-    preds = jnp.concatenate(
-        [batch_sample(verts, faces, k, num=num) for k in jax.random.split(key, repeat)]
-    )  # (repeat*B, num, 3)
+    pts = batch_sample(verts, faces, key, num=num * repeat)  # (B, R*num, 3)
+    preds = jnp.concatenate(jnp.split(pts, repeat, axis=1))  # (R*B, num, 3)
     gt_t = jnp.tile(gt_points, (repeat, 1, 1))
     return jnp.mean(cd_fn(preds, gt_t).reshape(repeat, b), axis=0)

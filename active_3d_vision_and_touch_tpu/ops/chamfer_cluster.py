@@ -95,26 +95,31 @@ def _edge_pad_points(x, mult):
     )
 
 
-def _nn_kernel(chunk_ids_ref, x_ref, y_hbm, d_ref, i_ref, scratch, sems):
+def _nn_kernel(chunk_ids_ref, x_ref, y_hbm, d_ref, i_ref, scratch, sems, *, n_chunks):
     """One query tile: scan its T prefetched reference chunks.
 
-    chunk_ids_ref: (B, n_tiles, T) int32 scalar-prefetch; x_ref (1, TN, 3)
-    VMEM; y_hbm (B, C*8, S): chunk c occupies rows [8c, 8c+8) — the chunk's
-    S points stored transposed (rows 0..2 = x/y/z planes, rows 3..7 pad)
-    so manual DMA slices are sublane-aligned (Mosaic rejects slicing a
-    3-wide trailing dim).  scratch (2, 8, S) double buffer; d/i
-    (1, TN, 1) outputs — the (TN, S) distance layout keeps the min-reduce
-    on lanes and the per-query results on sublanes, with no transposes.
+    chunk_ids_ref: (B*n_tiles*T,) int32 scalar-prefetch, FLAT — SMEM
+    operands lane-pad the trailing dimension to 128, so a (B, nt, T=24)
+    layout would inflate 5.3x and overflow the 1 MB SMEM at training batch
+    sizes (measured: u8[2949120] > 1 MB for B=48); the flat layout pads
+    once.  x_ref (1, TN, 3) VMEM; y_hbm (B, C*8, S): chunk c occupies rows
+    [8c, 8c+8) — the chunk's S points stored transposed (rows 0..2 = x/y/z
+    planes, rows 3..7 pad) so manual DMA slices are sublane-aligned
+    (Mosaic rejects slicing a 3-wide trailing dim).  scratch (n_buf, 8, S)
+    DMA pipeline; d/i (1, TN, 1) outputs — the (TN, S) distance layout
+    keeps the min-reduce on lanes and the per-query results on sublanes,
+    with no transposes.
     """
     b = pl.program_id(0)
     t = pl.program_id(1)
-    n_chunks = chunk_ids_ref.shape[2]
+    n_tiles = pl.num_programs(1)
     s = scratch.shape[2]
     x = x_ref[0]  # (TN, 3)
     tn = x.shape[0]
+    base_flat = (b * n_tiles + t) * n_chunks
 
     def chunk_dma(slot, j):
-        cid = chunk_ids_ref[b, t, j]
+        cid = chunk_ids_ref[base_flat + j]
         return pltpu.make_async_copy(
             y_hbm.at[b, pl.ds(cid * 8, 8), :],
             scratch.at[slot],
@@ -123,7 +128,7 @@ def _nn_kernel(chunk_ids_ref, x_ref, y_hbm, d_ref, i_ref, scratch, sems):
 
     n_buf = scratch.shape[0]
     for w in range(n_buf - 1):
-        if w < chunk_ids_ref.shape[2]:
+        if w < n_chunks:
             chunk_dma(w % n_buf, w).start()
 
     def body(j, carry):
@@ -141,7 +146,7 @@ def _nn_kernel(chunk_ids_ref, x_ref, y_hbm, d_ref, i_ref, scratch, sems):
             diff = x[:, c : c + 1] - y[c : c + 1, :]
             dist = dist + diff * diff
         local_d = jnp.min(dist, axis=1, keepdims=True)  # (TN, 1)
-        base = chunk_ids_ref[b, t, j] * s
+        base = chunk_ids_ref[base_flat + j] * s
         local_i = (
             jnp.argmin(dist, axis=1).reshape(-1, 1).astype(jnp.int32) + base
         )
@@ -246,14 +251,14 @@ def _nn_clustered_sorted(
         ],
     )
     d, i = pl.pallas_call(
-        _nn_kernel,
+        functools.partial(_nn_kernel, n_chunks=t_sel),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, np_, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, np_, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(chunk_ids, xs, y_packed)
+    )(chunk_ids.reshape(-1), xs, y_packed)
     return d[..., 0], i[..., 0]
 
 
@@ -297,26 +302,35 @@ def min_dists_clustered(
     return _unscramble(i_sorted, xperm, yperm, x, y)
 
 
-def _pair_min_dists(x, y, chunk_size, chunks_per_tile, interpret=None):
-    """Both sweep directions off ONE Morton sort per cloud (the symmetric
-    CD needs each cloud in both the query and the reference role; sorting
-    twice per direction was ~2x the sort cost for identical results)."""
+def _pair_min_dists_sorted(x, y, chunk_size, chunks_per_tile, interpret=None):
+    """Both sweep directions off ONE Morton sort per cloud, everything in
+    the SORTED frame: the CD value is a mean over queries, so it never
+    needs the original ordering — skipping the per-direction index
+    unscramble (a (B,N) gather + scatter each) moves that cost to a single
+    permutation application in the backward pass."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert _TN % chunk_size == 0, (
         f"chunk_size {chunk_size} must divide the query tile {_TN} so one "
         "padding serves both roles"
     )
+    n, m = x.shape[1], y.shape[1]
     xs, xperm = _sort_by_morton(x)
     ys, yperm = _sort_by_morton(y)
-    xs = _edge_pad_points(xs, _TN)
-    ys = _edge_pad_points(ys, _TN)
+    xs_p = _edge_pad_points(xs, _TN)
+    ys_p = _edge_pad_points(ys, _TN)
 
-    _, ix_s = _nn_clustered_sorted(xs, ys, chunk_size, chunks_per_tile, interpret)
-    _, iy_s = _nn_clustered_sorted(ys, xs, chunk_size, chunks_per_tile, interpret)
-    dx, ix = _unscramble(ix_s, xperm, yperm, x, y)
-    dy, iy = _unscramble(iy_s, yperm, xperm, y, x)
-    return (dx, ix), (dy, iy)
+    _, ix_s = _nn_clustered_sorted(xs_p, ys_p, chunk_size, chunks_per_tile, interpret)
+    _, iy_s = _nn_clustered_sorted(ys_p, xs_p, chunk_size, chunks_per_tile, interpret)
+    ix_s = jnp.clip(ix_s[:, :n], 0, m - 1)
+    iy_s = jnp.clip(iy_s[:, :m], 0, n - 1)
+
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    # exact distances re-derived in f32 (pruning only affects WHICH
+    # neighbor is found, never the arithmetic), sorted frame
+    dx_s = jnp.sum((xs - take(ys, ix_s)) ** 2, axis=-1)  # (B, n)
+    dy_s = jnp.sum((ys - take(xs, iy_s)) ** 2, axis=-1)  # (B, m)
+    return (xs, ys, ix_s, iy_s, xperm, yperm), dx_s, dy_s
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -328,19 +342,39 @@ def chamfer_distance_clustered(
 ):
     """Symmetric Chamfer distance via the pruned NN search (training-loss
     accelerator; use :func:`ops.chamfer.chamfer_distance` for scoring)."""
-    (dx, _), (dy, _) = _pair_min_dists(x, y, chunk_size, chunks_per_tile)
-    return jnp.mean(dx, axis=1) + jnp.mean(dy, axis=1)
+    _, dx_s, dy_s = _pair_min_dists_sorted(x, y, chunk_size, chunks_per_tile)
+    return jnp.mean(dx_s, axis=1) + jnp.mean(dy_s, axis=1)
 
 
 def _fwd(x, y, chunk_size, chunks_per_tile):
-    (dx, ix), (dy, iy) = _pair_min_dists(x, y, chunk_size, chunks_per_tile)
-    return jnp.mean(dx, axis=1) + jnp.mean(dy, axis=1), (x, y, ix, iy)
+    res, dx_s, dy_s = _pair_min_dists_sorted(x, y, chunk_size, chunks_per_tile)
+    return jnp.mean(dx_s, axis=1) + jnp.mean(dy_s, axis=1), res
 
 
 def _bwd(chunk_size, chunks_per_tile, res, g):
-    from active_3d_vision_and_touch_tpu.ops.chamfer import _chamfer_bwd
+    """Standard chamfer VJP computed in the sorted frame, then one
+    permutation scatter per cloud back to the caller's ordering."""
+    xs, ys, ix_s, iy_s, xperm, yperm = res
+    n, m = xs.shape[1], ys.shape[1]
+    gx = (g / n)[:, None, None]
+    gy = (g / m)[:, None, None]
 
-    return _chamfer_bwd(None, res, g)
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    y_near = take(ys, ix_s)  # (B, n, 3)
+    x_near = take(xs, iy_s)  # (B, m, 3)
+
+    diff1 = 2.0 * (xs - y_near)
+    diff2 = 2.0 * (ys - x_near)
+    dxs = gx * diff1 - jax.vmap(
+        lambda idx, val: jnp.zeros((n, 3), xs.dtype).at[idx].add(val)
+    )(iy_s, gy * diff2)
+    dys = gy * diff2 - jax.vmap(
+        lambda idx, val: jnp.zeros((m, 3), ys.dtype).at[idx].add(val)
+    )(ix_s, gx * diff1)
+
+    # sorted frame → original frame (xperm is a permutation: .set is exact)
+    unsort = jax.vmap(lambda perm, vals: jnp.zeros_like(vals).at[perm].set(vals))
+    return unsort(xperm, dxs), unsort(yperm, dys)
 
 
 chamfer_distance_clustered.defvjp(_fwd, _bwd)

@@ -96,21 +96,26 @@ class CheckpointManager:
 
 
 class MetricsWriter:
-    """TensorBoard scalars grouped by experiment id, with a JSONL mirror.
+    """JSONL scalar stream grouped by experiment id, with an optional
+    TensorBoard mirror.
 
-    Falls back to JSONL-only when tensorboard is unavailable.
+    JSONL is the primary sink (plain files, no deps).  TensorBoard event
+    files are OPT-IN via ``A3VT_TENSORBOARD=1`` — the writer lives in
+    torch, a heavyweight incidental import for a JAX framework.
     """
 
     def __init__(self, log_dir: str, exp_id: str):
         self.exp_id = exp_id
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, f"{exp_id}.metrics.jsonl"), "a")
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        self._tb = None
+        if os.environ.get("A3VT_TENSORBOARD"):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
 
-            self._tb = SummaryWriter(log_dir)
-        except Exception:  # pragma: no cover - tensorboard optional
-            self._tb = None
+                self._tb = SummaryWriter(log_dir)
+            except Exception:  # pragma: no cover - tensorboard optional
+                self._tb = None
 
     def scalar(self, tag: str, value: float, step: int) -> None:
         value = float(np.asarray(value))

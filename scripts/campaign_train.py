@@ -1,0 +1,348 @@
+"""Parity-campaign training: the full stack at reference-like scale.
+
+Stages (each resumable via the engines' checkpoint/meta plumbing, run
+independently so they can be scheduled around dataset generation):
+
+  touch    — train/fine-tune the touch-chart CNN (optionally warm-started
+             from a previous run's checkpoint: charts are local geometry,
+             they transfer across object sets)
+  charts   — build the touch-chart cache for every object
+  vision   — train the deformation network (setting via --setting)
+  auto     — train the mesh autoencoder against the frozen vision model
+  policies — train + evaluate all 8 policies, write summary.json
+
+Usage:
+  python scripts/campaign_train.py --root data_campaign --out results_campaign \
+      --stage touch --warm-start results_rot/exp/checkpoint/touch/mini
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+
+def write_summary(out, key, value):
+    path = os.path.join(out, "summary.json")
+    summary = json.load(open(path)) if os.path.exists(path) else {}
+    summary[key] = value
+    os.makedirs(out, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(key, "=", json.dumps(value), flush=True)
+
+
+def stage_touch(args, exp):
+    import jax
+
+    from active_3d_vision_and_touch_tpu.core.config import TouchConfig
+    from active_3d_vision_and_touch_tpu.data.datasets import Loader, TouchDataset
+    from active_3d_vision_and_touch_tpu.train.common import CheckpointManager
+    from active_3d_vision_and_touch_tpu.train.touch import TouchEngine
+
+    t0 = time.time()
+    tcfg = TouchConfig(
+        batch_size=64, num_samples=2000, experiments_root=exp,
+        exp_type="touch", exp_id="campaign", patience=3, lr=1e-4,
+    )
+    touch = TouchEngine(tcfg, log=True)
+    touch.build()
+    if args.warm_start and touch.epoch == 0:
+        warm = CheckpointManager(args.warm_start).restore_raw("best")
+        if warm is not None:
+            from active_3d_vision_and_touch_tpu.parallel import replicate
+
+            state = dict(touch.state)
+            state["params"] = warm["params"]
+            state["batch_stats"] = warm.get("batch_stats", state["batch_stats"])
+            touch.state = replicate(state, touch.mesh)
+            print("warm-started touch params from", args.warm_start, flush=True)
+
+    train_ds = TouchDataset(args.root, "recon_train", num_samples=2000)
+    valid_ds = TouchDataset(args.root, "valid", num_samples=2000)
+    print(f"touch items: train={len(train_ds)} valid={len(valid_ds)}", flush=True)
+    first = touch.run_epoch(Loader(valid_ds, 64, shuffle=False), train=False)
+    best = touch.fit(
+        lambda: Loader(train_ds, 64, shuffle=True),
+        lambda: Loader(valid_ds, 64, shuffle=False),
+        epochs=args.touch_epochs,
+    )
+    write_summary(args.out, "touch", {
+        "untrained_valid_cd": first, "best_valid_cd": best,
+        "warm_start": args.warm_start or None,
+        "seconds": round(time.time() - t0, 1),
+    })
+
+
+def stage_charts(args, exp):
+    import jax
+
+    from active_3d_vision_and_touch_tpu.core.config import TouchConfig
+    from active_3d_vision_and_touch_tpu.data.generation import make_touch_charts
+    from active_3d_vision_and_touch_tpu.train.common import CheckpointManager
+    from active_3d_vision_and_touch_tpu.train.touch import TouchEngine
+
+    t0 = time.time()
+    tcfg = TouchConfig(
+        experiments_root=exp, exp_type="touch", exp_id="campaign", eval=True,
+    )
+    touch = TouchEngine(tcfg, log=False)
+    state = CheckpointManager(tcfg.checkpoint_dir).restore(
+        touch.init_state(__import__("jax").random.PRNGKey(0)), "best"
+    )
+    assert state is not None, "run --stage touch first"
+    make_touch_charts(args.root, touch, state, batch=256, num_actions=50)
+    write_summary(args.out, "touch_charts_seconds", round(time.time() - t0, 1))
+
+
+def stage_vision(args, exp):
+    from active_3d_vision_and_touch_tpu.cli import SETTINGS
+    from active_3d_vision_and_touch_tpu.core.config import VisionConfig
+    from active_3d_vision_and_touch_tpu.data.datasets import Loader, VisionDataset
+    from active_3d_vision_and_touch_tpu.train.vision import VisionEngine
+
+    t0 = time.time()
+    setting = SETTINGS[args.setting]
+    use_img, finger, use_touch = setting["use_img"], setting["finger"], True
+    vcfg = VisionConfig(
+        use_img=use_img, use_touch=use_touch, finger=finger,
+        batch_size=16, number_points=args.number_points,
+        experiments_root=exp, exp_type="vision",
+        exp_id=f"campaign_{args.setting}", patience=args.patience, lr=3e-4,
+    )
+    vision = VisionEngine(vcfg, log=True)
+
+    def vloader(split, shuffle):
+        ds = VisionDataset(
+            args.root, split=split, use_img=use_img, use_touch=use_touch,
+            num_grasps=5, number_points=args.number_points,
+        )
+        return lambda: Loader(ds, vcfg.batch_size, shuffle=shuffle)
+
+    vision.build()
+    v_first = vision.run_epoch(vloader("valid", False)(), train=False)
+    v_best = vision.fit(
+        vloader("recon_train", True), vloader("valid", False),
+        epochs=args.vision_epochs,
+    )
+    write_summary(args.out, f"vision_{args.setting}", {
+        "untrained_valid_cd": v_first, "best_valid_cd": v_best,
+        "epochs_run": vision.epoch, "seconds": round(time.time() - t0, 1),
+    })
+
+
+def stage_auto(args, exp):
+    import jax
+
+    from active_3d_vision_and_touch_tpu.cli import SETTINGS
+    from active_3d_vision_and_touch_tpu.core.config import (
+        AutoencoderConfig, VisionConfig,
+    )
+    from active_3d_vision_and_touch_tpu.data.datasets import Loader, VisionDataset
+    from active_3d_vision_and_touch_tpu.train.autoencoder import AutoencoderEngine
+    from active_3d_vision_and_touch_tpu.train.common import CheckpointManager
+    from active_3d_vision_and_touch_tpu.train.vision import VisionEngine
+
+    t0 = time.time()
+    setting = SETTINGS[args.setting]
+    use_img, finger, use_touch = setting["use_img"], setting["finger"], True
+    vcfg = VisionConfig(
+        use_img=use_img, use_touch=use_touch, finger=finger, batch_size=16,
+        number_points=args.number_points, experiments_root=exp,
+        exp_type="vision", exp_id=f"campaign_{args.setting}", eval=True,
+    )
+    vision = VisionEngine(vcfg, log=False)
+    vstate = CheckpointManager(vcfg.checkpoint_dir).restore(
+        vision.init_state(jax.random.PRNGKey(1)), "best"
+    )
+    assert vstate is not None, "run --stage vision first"
+
+    acfg = AutoencoderConfig(
+        use_img=use_img, use_touch=use_touch, finger=finger, batch_size=16,
+        number_points=args.number_points, encoding_size=200,
+        experiments_root=exp, exp_type="auto",
+        exp_id=f"campaign_{args.setting}", patience=max(args.patience // 2, 3),
+    )
+    auto = AutoencoderEngine(acfg, vision_engine=vision, vision_state=vstate, log=True)
+
+    def aloader(split, shuffle):
+        ds = VisionDataset(
+            args.root, split=split, use_img=use_img, use_touch=use_touch,
+            num_grasps=5, number_points=args.number_points,
+        )
+        return lambda: Loader(ds, acfg.batch_size, shuffle=shuffle)
+
+    auto.build()
+    a_best = auto.fit(
+        aloader("auto_train", True), aloader("valid", False), epochs=args.auto_epochs
+    )
+    write_summary(args.out, f"autoencoder_{args.setting}", {
+        "best_valid_cd": a_best, "seconds": round(time.time() - t0, 1),
+    })
+
+
+def stage_policies(args, exp):
+    import jax
+
+    from active_3d_vision_and_touch_tpu.active.env import ActiveTouchEnv
+    from active_3d_vision_and_touch_tpu.active.policies.dataset_specific import (
+        LEBAEngine, MFBAEngine,
+    )
+    from active_3d_vision_and_touch_tpu.active.policies.ddqn import DDQNEngine
+    from active_3d_vision_and_touch_tpu.active.policies.nearest import (
+        NearestNeighborEngine,
+    )
+    from active_3d_vision_and_touch_tpu.active.policies.simple import (
+        EvenEngine, GreedyEngine, RandomEngine,
+    )
+    from active_3d_vision_and_touch_tpu.active.policies.supervised import (
+        SupervisedEngine,
+    )
+    from active_3d_vision_and_touch_tpu.cli import SETTINGS
+    from active_3d_vision_and_touch_tpu.core.config import (
+        AutoencoderConfig, PolicyConfig, TouchConfig, VisionConfig,
+    )
+    from active_3d_vision_and_touch_tpu.models.autoencoder import MeshAutoEncoder
+    from active_3d_vision_and_touch_tpu.train.common import CheckpointManager
+    from active_3d_vision_and_touch_tpu.train.touch import TouchEngine
+    from active_3d_vision_and_touch_tpu.train.vision import VisionEngine
+
+    import numpy as np
+
+    setting = SETTINGS[args.setting]
+    use_img, finger, use_touch = setting["use_img"], setting["finger"], True
+    tcfg = TouchConfig(
+        experiments_root=exp, exp_type="touch", exp_id="campaign", eval=True
+    )
+    touch = TouchEngine(tcfg, log=False)
+    tstate = CheckpointManager(tcfg.checkpoint_dir).restore(
+        touch.init_state(jax.random.PRNGKey(0)), "best"
+    )
+    vcfg = VisionConfig(
+        use_img=use_img, use_touch=use_touch, finger=finger, batch_size=16,
+        number_points=args.number_points, experiments_root=exp,
+        exp_type="vision", exp_id=f"campaign_{args.setting}", eval=True,
+    )
+    vision = VisionEngine(vcfg, log=False)
+    vstate = CheckpointManager(vcfg.checkpoint_dir).restore(
+        vision.init_state(jax.random.PRNGKey(1)), "best"
+    )
+    assert tstate is not None and vstate is not None
+
+    auto_model, astate = None, None
+    acfg = AutoencoderConfig(
+        experiments_root=exp, exp_type="auto",
+        exp_id=f"campaign_{args.setting}", eval=True, encoding_size=200,
+    )
+    raw = CheckpointManager(acfg.checkpoint_dir).restore_raw("best")
+    if raw is not None:
+        from active_3d_vision_and_touch_tpu.core.config import load_config
+
+        saved = load_config(acfg.checkpoint_dir, AutoencoderConfig)
+        auto_model = MeshAutoEncoder(
+            encoding_size=saved.encoding_size,
+            num_gcn_layers=saved.num_gcn_layers,
+            hidden_gcn_size=saved.hidden_gcn_size,
+            cut=saved.cut,
+            grid_size=saved.grid_size,
+        )
+        astate = {"params": raw["params"]}
+
+    pcfg_base = dict(
+        use_img=use_img, use_touch=use_touch, finger=finger,
+        number_points=args.number_points, env_batch_size=args.env_batch_size,
+        budget=5, num_grasps=5, greedy_checks=args.greedy_checks,
+        use_latent=astate is not None,
+        experiments_root=exp, eval=True,
+        hidden_dim=200, layers=5, lr=1e-3,
+        burn_in=20, train_batch_size=16, mem_capacity=300,
+        epsilon_decay=0.9999,
+    )
+    env = ActiveTouchEnv(
+        PolicyConfig(**pcfg_base), tstate, vstate, astate, auto_model
+    )
+
+    def run(name, engine_cls, train_fn=None):
+        t1 = time.time()
+        cfg = PolicyConfig(**pcfg_base, exp_id=f"campaign_{args.setting}_{name}")
+        engine = engine_cls(cfg, data_root=args.root, env=env)
+        if train_fn is not None:
+            train_fn(engine)
+        result = engine.evaluate("test", max_batches=args.eval_batches)
+        entry = result.summary()
+        entry["seconds"] = round(time.time() - t1, 1)
+        path = os.path.join(args.out, "summary.json")
+        summary = json.load(open(path)) if os.path.exists(path) else {}
+        summary.setdefault(f"policies_{args.setting}", {})[name] = entry
+        with open(path, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(name, entry, flush=True)
+
+    only = set(args.policies.split(",")) if args.policies else None
+
+    def want(name):
+        return only is None or name in only
+
+    tb = args.policy_train_batches
+    if want("random"):
+        run("random", RandomEngine)
+    if want("even"):
+        run("even", EvenEngine)
+    if want("greedy"):
+        run("greedy", GreedyEngine)
+    if want("mfba"):
+        run("mfba", MFBAEngine, lambda e: e.train(train_fraction=1.0, max_batches=tb))
+    if want("leba"):
+        run("leba", LEBAEngine, lambda e: e.train(train_fraction=1.0, max_batches=tb))
+    if astate is not None and want("nearest_neighbor"):
+        run("nearest_neighbor", NearestNeighborEngine,
+            lambda e: e.train(train_fraction=1.0, max_batches=tb))
+    if astate is not None and want("supervised"):
+        run("supervised", SupervisedEngine,
+            lambda e: e.train(max_batches_per_step=tb))
+    if astate is not None and want("ddqn"):
+        run("ddqn", DDQNEngine,
+            lambda e: [e.train_epoch(max_batches=tb) for _ in range(args.ddqn_epochs)])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="data_campaign")
+    ap.add_argument("--out", default="results_campaign")
+    ap.add_argument("--stage", required=True,
+                    choices=["touch", "charts", "vision", "auto", "policies"])
+    ap.add_argument("--setting", default="t_g")
+    ap.add_argument("--warm-start", default=None)
+    ap.add_argument("--touch-epochs", type=int, default=12)
+    ap.add_argument("--vision-epochs", type=int, default=300)
+    ap.add_argument("--auto-epochs", type=int, default=60)
+    ap.add_argument("--patience", type=int, default=12)
+    ap.add_argument("--number-points", type=int, default=10000)
+    ap.add_argument("--env-batch-size", type=int, default=8)
+    ap.add_argument("--greedy-checks", type=int, default=10)
+    ap.add_argument("--eval-batches", type=int, default=None)
+    ap.add_argument("--policy-train-batches", type=int, default=None)
+    ap.add_argument("--ddqn-epochs", type=int, default=4)
+    ap.add_argument("--policies", default=None,
+                    help="comma list to restrict which policies run")
+    args = ap.parse_args()
+
+    exp = os.path.join(args.out, "exp")
+    {
+        "touch": stage_touch,
+        "charts": stage_charts,
+        "vision": stage_vision,
+        "auto": stage_auto,
+        "policies": stage_policies,
+    }[args.stage](args, exp)
+
+
+if __name__ == "__main__":
+    main()

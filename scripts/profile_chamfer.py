@@ -19,6 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# the axon sitecustomize imports jax first; env vars alone don't stick
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+
 from active_3d_vision_and_touch_tpu.ops import chamfer, chamfer_cluster as cc
 
 

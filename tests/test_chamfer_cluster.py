@@ -55,5 +55,20 @@ def test_clustered_chamfer_value_and_grad():
     cd_ref = chamfer_distance(x, y)
     cd_cl = chamfer_distance_clustered(x, y, 64, 12)
     assert np.allclose(np.asarray(cd_cl), np.asarray(cd_ref), rtol=2e-2)
-    g = jax.grad(lambda a, b: chamfer_distance_clustered(a, b, 64, 12).sum())(x, y)
-    assert np.isfinite(np.asarray(g)).all()
+    # chunks_per_tile (12) >= number of chunks (512/64 = 8): the pruned
+    # search degenerates to an exhaustive scan, so value AND gradient must
+    # match the exact kernel to float tolerance — this pins the whole
+    # sorted-frame VJP (sorted-frame chamfer bwd + permutation unsort)
+    assert np.allclose(np.asarray(cd_cl), np.asarray(cd_ref), rtol=1e-5)
+    g_cl = jax.grad(lambda a, b: chamfer_distance_clustered(a, b, 64, 12).sum())(x, y)
+    g_ref = jax.grad(lambda a, b: chamfer_distance(a, b).sum())(x, y)
+    assert np.isfinite(np.asarray(g_cl)).all()
+    np.testing.assert_allclose(
+        np.asarray(g_cl), np.asarray(g_ref), rtol=1e-4, atol=1e-7
+    )
+    # gradient wrt y too (the scatter-accumulated side)
+    gy_cl = jax.grad(lambda b: chamfer_distance_clustered(x, b, 64, 12).sum())(y)
+    gy_ref = jax.grad(lambda b: chamfer_distance(x, b).sum())(y)
+    np.testing.assert_allclose(
+        np.asarray(gy_cl), np.asarray(gy_ref), rtol=1e-4, atol=1e-7
+    )
