@@ -135,5 +135,8 @@ class PolicyEngine:
             from active_3d_vision_and_touch_tpu.utils.viz import visualize_actions
 
             visualize_actions(
-                self.config.results_dir, result.actions, self.config.num_actions
+                self.config.results_dir,
+                result.actions,
+                self.config.num_actions,
+                use_img=self.config.use_img,
             )

@@ -44,8 +44,26 @@ def _sphere_pixel(point, num_actions: int):
     return row, col
 
 
-def visualize_actions(location: str, actions: np.ndarray, num_actions: int = 50) -> None:
-    """Histogram + sphere-coverage map of the actions a policy used."""
+def camera_visible_actions(num_actions: int = 50) -> np.ndarray:
+    """Boolean mask of action directions on the camera-facing hemisphere —
+    the equivalent of the reference's precomputed ``objects/visible.obj``
+    subset (``utility/utils.py:596-600``): with vision in play, coverage
+    maps distinguish grasp directions the camera can actually see."""
+    sphere = action_sphere(num_actions)
+    cam = np.asarray(PinholeCamera().position, np.float64)
+    cam /= np.linalg.norm(cam)
+    return (sphere @ cam) > 0.0
+
+
+def visualize_actions(
+    location: str,
+    actions: np.ndarray,
+    num_actions: int = 50,
+    use_img: bool = False,
+) -> None:
+    """Histogram + sphere-coverage map of the actions a policy used.  With
+    ``use_img`` the map additionally marks the camera-visible hemisphere
+    (reference ``utils.py:592-609``)."""
     os.makedirs(location, exist_ok=True)
     actions = np.asarray(actions).reshape(-1).astype(int)
 
@@ -68,6 +86,14 @@ def visualize_actions(location: str, actions: np.ndarray, num_actions: int = 50)
         r, c = _sphere_pixel(sphere[a], num_actions)
         canvas[r - 1 : r + 2, c - 1 : c + 2] += 1.0
     canvas = canvas * 255.0 / max(canvas.max(), 1e-9)
+    if use_img:
+        # mark the camera-visible hemisphere in the green channel so
+        # coverage reads against what the vision tower can see
+        for i in np.nonzero(camera_visible_actions(num_actions))[0]:
+            r, c = _sphere_pixel(sphere[i], num_actions)
+            canvas[r - 1 : r + 2, c - 1 : c + 2, 1] = np.maximum(
+                canvas[r - 1 : r + 2, c - 1 : c + 2, 1], 96.0
+            )
     canvas[np.all(canvas == 0, axis=-1)] = (0, 204, 204)
     _save_png(os.path.join(location, "sphere_projection.png"), canvas)
 

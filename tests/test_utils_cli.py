@@ -21,6 +21,18 @@ def test_visualize_actions(tmp_path):
     assert os.path.exists(tmp_path / "sphere_projection.png")
 
 
+def test_visualize_actions_camera_mask(tmp_path):
+    from active_3d_vision_and_touch_tpu.utils.viz import camera_visible_actions
+
+    vis = camera_visible_actions(50)
+    # roughly half the sphere faces the camera, never all or none
+    assert 10 < vis.sum() < 40
+    visualize_actions(
+        str(tmp_path), np.array([0, 1]), num_actions=50, use_img=True
+    )
+    assert os.path.exists(tmp_path / "sphere_projection.png")
+
+
 def test_visualize_depth():
     d = np.array([[0.01, 0.03], [0.0, 0.025]])
     out = visualize_depth(d, max_depth=0.025)
