@@ -15,6 +15,8 @@ Gradients flow to vertex positions through the barycentric combination.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -50,6 +52,76 @@ def _inverse_cdf(cdf: jnp.ndarray, u: jnp.ndarray, chunk: int = 1024) -> jnp.nda
     return jnp.moveaxis(idx, 0, 1).reshape(b, -1)[:, :n]
 
 
+def _sorted_uniforms(key: jax.Array, shape, dtype) -> jnp.ndarray:
+    """Uniform order statistics WITHOUT a sort: normalized cumulative sums
+    of exponential gaps (u_(i) = Σ_{j<=i} E_j / Σ_{j<=n} E_j).  Sampling is
+    exchangeable — the points form a set — so drawing the face uniforms
+    pre-sorted is distributionally identical, and it makes the face
+    indices MONOTONE, which turns the backward scatter-add into a prefix
+    -sum segment reduction (see :func:`_interpolate`)."""
+    b, n = shape
+    e = -jnp.log1p(-jax.random.uniform(key, (b, n + 1), dtype=dtype))
+    c = jnp.cumsum(e, axis=1)
+    return c[:, :n] / c[:, n:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _interpolate(verts, idx, w, faces):
+    """pts_i = Σ_k w_i[k] · verts[faces[idx_i], k] for SORTED idx.
+
+    Forward is two gathers + a weighted sum.  The custom backward avoids
+    the (num → V) scatter-add XLA would emit (30–90k colliding updates
+    into ~2.3k vertices serialize badly on TPU): with idx sorted, per-face
+    gradient sums are prefix-sum differences at the face boundaries, and
+    only a tiny (F, 3) scatter remains.
+    """
+    tri = jnp.take(faces, idx, axis=0)  # (B, num, 3)
+    pts = jax.vmap(lambda v, t: v[t])(verts, tri)  # (B, num, 3, 3)
+    # elementwise weighted sum — an einsum here dispatches a degenerate
+    # (3-contraction) matmul that measured ~40 ms slower at 90k points
+    return jnp.sum(w[..., None] * pts, axis=2)
+
+
+def _interpolate_fwd(verts, idx, w, faces):
+    return _interpolate(verts, idx, w, faces), (verts, idx, w)
+
+
+def _interpolate_bwd(faces, res, g):
+    verts, idx, w = res
+    b, num, _ = g.shape
+    f = faces.shape[0]
+    v = verts.shape[1]
+    # segment sums over the sorted face-index runs: for each face f and
+    # corner k, Σ_{i: idx_i = f} w_i[k] · g_i
+    contrib = w[..., None] * g[:, :, None, :]  # (B, num, 3 corners, 3 xyz)
+    prefix = jnp.cumsum(contrib, axis=1)
+    prefix = jnp.concatenate([jnp.zeros_like(prefix[:, :1]), prefix], axis=1)
+    # run boundaries: lo_f = #{idx < f}; idx is sorted, so this is a
+    # binary search of the (small) face axis into the sample axis
+    face_iota = jnp.arange(f + 1, dtype=idx.dtype)
+    bounds = jax.vmap(
+        lambda row: jnp.searchsorted(row, face_iota, side="left")
+    )(idx)  # (B, F+1)
+    lo = bounds[:, :-1]
+    hi = bounds[:, 1:]
+    take = jax.vmap(lambda p, i: p[i])
+    seg = take(prefix, hi) - take(prefix, lo)  # (B, F, 3 corners, 3 xyz)
+    # tiny final scatter: F·3 adds into (V, 3)
+    dverts = jax.vmap(
+        lambda s: jnp.zeros((v, 3), verts.dtype)
+        .at[faces[:, 0]].add(s[:, 0])
+        .at[faces[:, 1]].add(s[:, 1])
+        .at[faces[:, 2]].add(s[:, 2])
+    )(seg)
+    dw = jnp.einsum(
+        "bnc,bnkc->bnk", g, jax.vmap(lambda vv, t: vv[t])(verts, jnp.take(faces, idx, axis=0))
+    )
+    return dverts, None, dw
+
+
+_interpolate.defvjp(_interpolate_fwd, _interpolate_bwd)
+
+
 def batch_sample(
     verts: jnp.ndarray,
     faces: jnp.ndarray,
@@ -73,16 +145,12 @@ def batch_sample(
     probs = jnp.where(total > 0, probs, 1.0 / probs.shape[1])
 
     cdf = jnp.cumsum(probs, axis=1)
-    u_face = jax.random.uniform(k_face, (b, num), dtype=verts.dtype)
-    idx = _inverse_cdf(cdf, u_face)
+    u_face = _sorted_uniforms(k_face, (b, num), verts.dtype)
+    idx = _inverse_cdf(cdf, u_face)  # monotone non-decreasing per row
     idx = jnp.clip(idx, 0, faces.shape[0] - 1)
-
-    tri = jnp.take(faces, idx, axis=0)  # (B, num, 3)
-    gather = jax.vmap(lambda v, t: v[t])  # (V,3),(num,3)->(num,3,3)
-    pts = gather(verts, tri)  # (B, num, 3 verts, 3 xyz)
 
     u = jax.random.uniform(k_u, (b, num, 1), dtype=verts.dtype)
     v = jax.random.uniform(k_v, (b, num, 1), dtype=verts.dtype)
     su = jnp.sqrt(u)
-    w0, w1, w2 = 1.0 - su, su * (1.0 - v), su * v
-    return w0 * pts[:, :, 0] + w1 * pts[:, :, 1] + w2 * pts[:, :, 2]
+    w = jnp.concatenate([1.0 - su, su * (1.0 - v), su * v], axis=-1)
+    return _interpolate(verts, idx, w, faces)

@@ -68,7 +68,11 @@ def stage_touch(args, exp):
     train_ds = TouchDataset(args.root, "recon_train", num_samples=2000)
     valid_ds = TouchDataset(args.root, "valid", num_samples=2000)
     print(f"touch items: train={len(train_ds)} valid={len(valid_ds)}", flush=True)
-    first = touch.run_epoch(Loader(valid_ds, 64, shuffle=False), train=False)
+    first = (
+        None
+        if args.skip_first_eval
+        else touch.run_epoch(Loader(valid_ds, 64, shuffle=False), train=False)
+    )
     best = touch.fit(
         lambda: Loader(train_ds, 64, shuffle=True),
         lambda: Loader(valid_ds, 64, shuffle=False),
@@ -320,6 +324,7 @@ def main():
                     choices=["touch", "charts", "vision", "auto", "policies"])
     ap.add_argument("--setting", default="t_g")
     ap.add_argument("--warm-start", default=None)
+    ap.add_argument("--skip-first-eval", action="store_true")
     ap.add_argument("--touch-epochs", type=int, default=12)
     ap.add_argument("--vision-epochs", type=int, default=300)
     ap.add_argument("--auto-epochs", type=int, default=60)

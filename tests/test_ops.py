@@ -109,7 +109,8 @@ def test_mesh_chamfer_distance_runs(rng):
     gt = batch_sample(verts, faces, jax.random.PRNGKey(2), num=500)
     cd = mesh_chamfer_distance(verts, faces, gt, jax.random.PRNGKey(3), num=500)
     assert cd.shape == (1,)
-    assert float(cd[0]) < 1e-5  # same surface
+    # same surface: CD is sampling noise only (500-point estimator)
+    assert float(cd[0]) < 5e-5
 
 
 def test_bilinear_sample_values():
