@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -67,7 +68,12 @@ class GCNLayer(nn.Module):
 
 
 class GCN(nn.Module):
-    """Stack of GCNLayers: hidden layers ReLU + cut, final layer linear."""
+    """Stack of GCNLayers: hidden layers ReLU + cut, final layer linear.
+
+    ``debug_nan`` installs the reference's per-layer NaN tripwire
+    (``vision/model.py:326-329``) as a ``jax.debug.print`` — jit-safe, only
+    fires when a layer's activations go non-finite.  Enable with
+    ``A3VT_DEBUG_NAN=1`` (checked at trace time)."""
 
     num_layers: int
     hidden_size: int
@@ -76,6 +82,9 @@ class GCN(nn.Module):
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        debug_nan = bool(os.environ.get("A3VT_DEBUG_NAN"))
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
             features = GCNLayer(
@@ -83,6 +92,16 @@ class GCN(nn.Module):
                 cut=self.cut,
                 do_cut=not last,
             )(features, adj)
+            if debug_nan:
+                bad = jnp.sum(~jnp.isfinite(features))
+                jax.lax.cond(
+                    bad > 0,
+                    lambda b=bad, i=i: jax.debug.print(
+                        "GCN layer {i}/{n}: {b} non-finite activations",
+                        i=i, n=self.num_layers, b=b, ordered=False,
+                    ),
+                    lambda: None,
+                )
             if not last:
                 features = nn.relu(features)
         return features

@@ -87,3 +87,28 @@ def test_obj_roundtrip(tmp_path):
     loaded = load_obj(path)
     assert np.allclose(loaded.verts, chart.verts, atol=1e-5)
     assert np.array_equal(loaded.faces, chart.faces)
+
+
+def test_hybrid_mesh_and_batch_sharding():
+    """2-D (dcn, dp) mesh: batch splits over BOTH axes; replicate works."""
+    import jax
+    import jax.numpy as jnp
+
+    from active_3d_vision_and_touch_tpu.parallel import (
+        batch_sharding,
+        hybrid_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    mesh = hybrid_mesh(dcn=2, ici=4)
+    assert mesh.shape == {"dcn": 2, "dp": 4}
+    batch = {"x": np.arange(16 * 3, dtype=np.float32).reshape(16, 3)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding == batch_sharding(mesh, 2)
+    # every device holds 16/8 = 2 rows
+    shard_shapes = {s.data.shape for s in sharded["x"].addressable_shards}
+    assert shard_shapes == {(2, 3)}
+    np.testing.assert_array_equal(np.asarray(sharded["x"]), batch["x"])
+    params = replicate({"w": jnp.ones((4, 4))}, mesh)
+    assert len(params["w"].addressable_shards) == 8

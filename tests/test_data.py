@@ -127,3 +127,19 @@ def test_vision_dataset_validation_deterministic(dataset_root):
         ia, ib = a[0], b[0]
         assert ia["names"] == ib["names"]  # same seeded grasp draw
         assert np.array_equal(ia["gt_points"], ib["gt_points"])
+
+
+def test_loader_process_shard(dataset_root):
+    """Multi-host data sharding: same seeded order, disjoint strided
+    slices, union covers the dataset."""
+    root, splits = dataset_root
+    ds = TouchDataset(root, "recon_train", num_samples=100)
+    seen = []
+    for pidx in range(2):
+        ld = Loader(ds, batch_size=1, shuffle=True, seed=3, drop_last=False,
+                    process_shard=(pidx, 2))
+        names = [b["names"][0] for b in ld]
+        assert len(names) == len(ld)
+        seen.append({tuple(map(str, n)) for n in names})
+    assert not (seen[0] & seen[1])
+    assert len(seen[0] | seen[1]) == len(ds)
