@@ -53,24 +53,42 @@ class CheckpointManager:
     ``<dir>/state.json`` carrying epoch / early-stop counters.
     """
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, async_save: bool = False):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckpt = ocp.PyTreeCheckpointer()
+        # async mode: serialization runs on a background thread so the
+        # train loop never blocks on checkpoint IO (matters on multi-host
+        # runs where every host writes its process shard); saves are
+        # fenced in wait_until_finished() / restore / close
+        self._async = (
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            if async_save
+            else None
+        )
 
     def _slot(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
     def save(self, state, name: str = "recent", meta: dict | None = None) -> None:
         state = jax.device_get(state)
-        self._ckpt.save(self._slot(name), state, force=True)
+        if self._async is not None:
+            self._async.save(self._slot(name), state, force=True)
+        else:
+            self._ckpt.save(self._slot(name), state, force=True)
         if meta is not None:
             tmp = os.path.join(self.directory, "state.json.tmp")
             with open(tmp, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp, os.path.join(self.directory, "state.json"))
 
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save has committed."""
+        if self._async is not None:
+            self._async.wait_until_finished()
+
     def restore(self, template, name: str = "recent"):
+        self.wait_until_finished()
         path = self._slot(name)
         if not os.path.exists(path):
             return None

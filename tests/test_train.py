@@ -202,3 +202,23 @@ def test_early_stop_patience():
     es3 = EarlyStop(patience=1)
     es3.update(5.0)
     assert es3.update(5.0)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+
+    from active_3d_vision_and_touch_tpu.train.common import CheckpointManager
+
+    state = {"w": np.arange(6, dtype=np.float32).reshape(2, 3), "step": 7}
+    mgr = CheckpointManager(str(tmp_path), async_save=True)
+    mgr.save(state, "recent", meta={"epoch": 1})
+    mgr.wait_until_finished()
+    template = {"w": np.zeros((2, 3), np.float32), "step": 0}
+    # a fresh (sync) manager restores what the async one wrote
+    out = CheckpointManager(str(tmp_path)).restore(template, "recent")
+    np.testing.assert_array_equal(out["w"], state["w"])
+    assert out["step"] == 7
+    # restore on the async manager fences in-flight saves itself
+    mgr.save(state, "best")
+    out2 = mgr.restore(template, "best")
+    assert out2["step"] == 7
