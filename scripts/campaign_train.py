@@ -136,8 +136,22 @@ def stage_vision(args, exp):
         vloader("recon_train", True), vloader("valid", False),
         epochs=args.vision_epochs,
     )
+    # restore best + render a few predictions for qualitative evidence
+    from active_3d_vision_and_touch_tpu.train.common import CheckpointManager
+
+    best_state = CheckpointManager(vcfg.checkpoint_dir).restore(
+        vision.state, "best"
+    )
+    if best_state is not None:
+        vision.state = best_state
+    mean_cd, per_object = vision.evaluate_detailed(
+        vloader("valid", False)(),
+        visualize_dir=os.path.join(args.out, f"renders_{args.setting}"),
+        max_visualize=6,
+    )
     write_summary(args.out, f"vision_{args.setting}", {
         "untrained_valid_cd": v_first, "best_valid_cd": v_best,
+        "detailed_valid_cd": mean_cd,
         "epochs_run": vision.epoch, "seconds": round(time.time() - t0, 1),
     })
 
