@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import random
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -193,10 +194,18 @@ def save_simulation(
                             dest / f"{finger}_touch.npy",
                             signals["touch_signal"][b][finger].astype(np.uint8),
                         )
-                        np.save(
-                            dest / f"{finger}_points.npy",
-                            signals["touch_point_cloud"][b][finger],
-                        )
+                        pts = signals["touch_point_cloud"][b][finger]
+                        if len(pts) > 4096:
+                            # full 121^2 unprojections dominate the dump
+                            # (up to 176 KB/finger, ~31 MB/object); training
+                            # draws 2000 iid points, so a 4096-point random
+                            # subsample is statistically equivalent and 3x
+                            # smaller on disk
+                            keep = np.random.default_rng(
+                                zlib.crc32(f"{n}:{action}:{finger}".encode())
+                            ).choice(len(pts), 4096, replace=False)
+                            pts = pts[keep]
+                        np.save(dest / f"{finger}_points.npy", pts)
                     if status != "no_intersection":
                         ref = {
                             "pos": signals["finger_transform_pos"][b][finger],

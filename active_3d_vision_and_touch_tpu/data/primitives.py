@@ -157,22 +157,119 @@ def blob_union(rng: np.random.Generator) -> Mesh:
 
 GENERATORS = (bumpy_sphere, superquadric, rounded_box, torus, blob_union)
 
+_PART_GENERATORS = (
+    lambda rng: bumpy_sphere(rng, subdivisions=2),
+    lambda rng: superquadric(rng, resolution=20),
+    lambda rng: rounded_box(rng, subdivisions=2),
+    lambda rng: torus(rng, resolution=18),
+)
+
+
+def _random_rotation(rng: np.random.Generator) -> np.ndarray:
+    from scipy.spatial.transform import Rotation as R
+
+    return R.random(random_state=np.random.RandomState(rng.integers(2**31))).as_matrix()
+
+
+def _smooth_part(rng: np.random.Generator) -> Mesh:
+    """Locally smooth primitive (no bump fields): the chart atlas can
+    represent these near-exactly, keeping the reconstruction floor low."""
+    k = int(rng.integers(3))
+    if k == 0:
+        return superquadric(rng, resolution=20)
+    if k == 1:
+        return torus(rng, resolution=18)
+    return rounded_box(rng, subdivisions=2)
+
+
+def _stretched(verts: np.ndarray, rng: np.random.Generator, lo: float, hi: float, smax: float) -> np.ndarray:
+    """Random anisotropic scale with one strongly stretched axis — the
+    eccentricity that drives the distribution's gross-shape entropy."""
+    scale = rng.uniform(lo, hi, size=(1, 3))
+    stretch = np.ones(3)
+    stretch[int(rng.integers(3))] = rng.uniform(1.0, smax)
+    return (verts * (scale * stretch)).astype(np.float32)
+
+
+def eccentric_single(rng: np.random.Generator) -> Mesh:
+    """One smooth primitive, strongly stretched: measured medoid-prior CD
+    4.6e-3 vs 2.5e-3 for the round-1 families (scripts in the 'generator
+    entropy' commit) — the widest-spread family in the mixture."""
+    part = _smooth_part(rng)
+    verts = part.verts @ _random_rotation(rng).T.astype(np.float32)
+    return Mesh(_stretched(verts, rng, 0.3, 1.0, 4.0), part.faces)
+
+
+def composed_object(rng: np.random.Generator) -> Mesh:
+    """Union of 2-5 smooth, stretched parts, each anchored just beyond a
+    random surface vertex of the assembly so the union stays one connected
+    graspable body (arms, L-shapes, dumbbells, lobed parts — CAD-like
+    gross-shape variance a global mean-shape prior cannot absorb)."""
+    k = int(rng.integers(2, 6))
+    part = _smooth_part(rng)
+    verts = part.verts @ _random_rotation(rng).T.astype(np.float32)
+    verts = _stretched(verts, rng, 0.3, 1.0, 3.0)
+    faces = part.faces
+    for _ in range(k - 1):
+        part = _smooth_part(rng)
+        pv = part.verts @ _random_rotation(rng).T.astype(np.float32)
+        pv = _stretched(pv, rng, 0.2, 0.8, 3.0)
+        anchor = verts[int(rng.integers(len(verts)))]
+        # push the part's center slightly past the surface: lumpy unions
+        # with real protrusions instead of interpenetrating near-spheres
+        center = anchor * float(rng.uniform(0.9, 1.4))
+        faces = np.concatenate([faces, part.faces + len(verts)])
+        verts = np.concatenate([verts, (pv + center).astype(np.float32)])
+    return Mesh(verts, faces)
+
+
+def _warp(verts: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Random global nonlinear deformation: twist, taper, or shear along a
+    random axis.  Breaks the residual symmetry/axis-alignment statistics a
+    deformation prior latches onto."""
+    frame = _random_rotation(rng).astype(np.float32)
+    v = verts @ frame.T  # warp axis = local z
+    z = v[:, 2]
+    span = max(z.max() - z.min(), 1e-6)
+    t = (z - z.min()) / span  # 0..1 along the axis
+    kind = int(rng.integers(3))
+    if kind == 0:  # twist about z
+        ang = float(rng.uniform(-1.4, 1.4)) * t
+        c, s = np.cos(ang), np.sin(ang)
+        v = np.stack([v[:, 0] * c - v[:, 1] * s, v[:, 0] * s + v[:, 1] * c, z], 1)
+    elif kind == 1:  # taper xy with z
+        f = 1.0 + (float(rng.uniform(0.5, 1.8)) - 1.0) * t
+        v = np.stack([v[:, 0] * f, v[:, 1] * f, z], 1)
+    else:  # shear x by z
+        v = np.stack([v[:, 0] + float(rng.uniform(-0.8, 0.8)) * z, v[:, 1], z], 1)
+    return (v @ frame).astype(np.float32)
+
 
 def random_object(seed: int, scale: float = 3.1) -> Mesh:
     """Deterministic procedural object, preprocessed like dataset objects
     (centered, max extent = 1/scale — reference ``data_making.py:76-95``).
 
-    A random global rotation multiplies shape entropy: without it every
-    generator family is roughly axis-aligned and a mean-shape prior
-    explains most of the distribution (the saturation measured in
-    results_div/touch_value.json).
-    """
-    from scipy.spatial.transform import Rotation as R
-
+    Distribution design: the reference trains on ABC CAD parts whose gross
+    -shape entropy makes an input-free prior ~4-6x worse than the trained
+    -with-touch result (BASELINE.md T_G ratios) — that headroom is what
+    active touch selection optimizes.  Single centered blobs saturate (a
+    mean-shape prior reached the representational floor within ~2%:
+    results_rot/touch_value.json flat at CD≈17).  This mixture therefore
+    maximizes a measured medoid-prior CD proxy while keeping surfaces
+    locally smooth (low atlas floor): 45% strongly stretched smooth
+    primitives, 35% multi-part compositions, 20% round-1 bumpy families,
+    all through 0-2 nonlinear warps and a random global rotation."""
     rng = np.random.default_rng(seed)
-    gen = GENERATORS[int(rng.integers(len(GENERATORS)))]
-    mesh = gen(rng)
-    rot = R.random(random_state=np.random.RandomState(seed ^ 0x5EED)).as_matrix()
-    verts = mesh.verts @ rot.T.astype(np.float32)
+    u = rng.uniform()
+    if u < 0.45:
+        mesh = eccentric_single(rng)
+    elif u < 0.80:
+        mesh = composed_object(rng)
+    else:
+        mesh = GENERATORS[int(rng.integers(len(GENERATORS)))](rng)
+    verts = mesh.verts
+    for _ in range(int(rng.integers(0, 3))):
+        verts = _warp(verts, rng)
+    verts = verts @ _random_rotation(rng).T.astype(np.float32)
     verts = scale_points(verts, scale=scale)
     return Mesh(verts, mesh.faces)
