@@ -24,6 +24,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="data_div")
     ap.add_argument("--out", default="results_div")
+    ap.add_argument("--exp-id", default="mini_t_g")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--number-points", type=int, default=10000)
     args = ap.parse_args()
 
     import jax
@@ -35,9 +38,9 @@ def main():
 
     exp = os.path.join(args.out, "exp")
     vcfg = VisionConfig(
-        use_img=False, use_touch=True, finger=False, batch_size=8,
-        number_points=10000, experiments_root=exp, exp_type="vision",
-        exp_id="mini_t_g", eval=True,
+        use_img=False, use_touch=True, finger=False, batch_size=args.batch_size,
+        number_points=args.number_points, experiments_root=exp, exp_type="vision",
+        exp_id=args.exp_id, eval=True,
     )
     engine = VisionEngine(vcfg, log=False)
     engine.build()
@@ -51,9 +54,10 @@ def main():
     for grasps in range(6):
         ds = VisionDataset(
             args.root, split="valid", use_img=False, use_touch=True,
-            num_grasps=5, number_points=10000, val_grasps=grasps, eval_mode=True,
+            num_grasps=5, number_points=args.number_points, val_grasps=grasps,
+            eval_mode=True,
         )
-        loader = Loader(ds, 8, shuffle=False)
+        loader = Loader(ds, args.batch_size, shuffle=False)
         cd = engine.run_epoch(iter(loader), train=False)
         results[grasps] = round(float(cd), 3)
         print(f"val_grasps={grasps}: CD={cd:.3f}")
