@@ -88,10 +88,18 @@ def test_scene_touch_pipeline(obj):
     for status, cloud in zip(statuses, clouds):
         if status == "touch":
             assert len(cloud) > 0
-            # touch points lie near the object surface
-            d = np.linalg.norm(
-                obj.verts[None] - cloud[:50, None], axis=-1
-            ).min(1)
+            # touch points lie near the object SURFACE — measure against a
+            # densified sampling, not the raw vertices: eccentric stretched
+            # generators have large triangles whose vertex spacing alone
+            # exceeds the sensor scale
+            from active_3d_vision_and_touch_tpu.sim.collision import (
+                subdivide_to_density,
+            )
+
+            surf = subdivide_to_density(
+                obj.verts.astype(np.float64), obj.faces, 0.01
+            ).astype(np.float32)
+            d = np.linalg.norm(surf[None] - cloud[:50, None], axis=-1).min(1)
             assert d.mean() < 0.03
 
 
