@@ -35,14 +35,14 @@ echo "=== touch-value diagnostic ===" | tee -a "$LOGS/driver.log"
 python scripts/diagnose_touch_value.py --root "$ROOT" --out "$OUT" \
   --exp-id "campaign_$SETTING" >> "$LOGS/diagnose.log" 2>&1 || true
 stage "auto_$SETTING" --stage auto --setting "$SETTING" || exit 1
-stage "policies_$SETTING" --stage policies --setting "$SETTING" || exit 1
+stage "policies_$SETTING" --stage policies --setting "$SETTING" --greedy-checks 50 || exit 1
 python scripts/make_results_table.py --out "$OUT" >> "$LOGS/driver.log" 2>&1 || true
 echo "campaign ($SETTING) complete" | tee -a "$LOGS/driver.log"
 
 for EXTRA in ${EXTRA_SETTINGS:-}; do
   stage "vision_$EXTRA" --stage vision --setting "$EXTRA" || exit 1
   stage "auto_$EXTRA" --stage auto --setting "$EXTRA" || exit 1
-  stage "policies_$EXTRA" --stage policies --setting "$EXTRA" || exit 1
+  stage "policies_$EXTRA" --stage policies --setting "$EXTRA" --greedy-checks 50 || exit 1
   python scripts/make_results_table.py --out "$OUT" >> "$LOGS/driver.log" 2>&1 || true
   echo "campaign ($EXTRA) complete" | tee -a "$LOGS/driver.log"
 done
