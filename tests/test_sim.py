@@ -133,8 +133,14 @@ def test_sampler_batched_contract(obj):
 def test_extract_surface_points(obj):
     pts = extract_surface_points(obj.verts, obj.faces, dim=64, num_points=2000)
     assert pts.shape == (2000, 3)
-    # points hug the surface: close to some vertex
-    d = np.linalg.norm(pts[:, None] - obj.verts[None], axis=-1).min(1)
+    # points hug the SURFACE (densified — raw vertex spacing on stretched
+    # generators exceeds the carve cell size)
+    from active_3d_vision_and_touch_tpu.sim.collision import subdivide_to_density
+
+    surf = subdivide_to_density(
+        obj.verts.astype(np.float64), obj.faces, 0.01
+    ).astype(np.float32)
+    d = np.linalg.norm(pts[:, None] - surf[None], axis=-1).min(1)
     assert np.quantile(d, 0.9) < 0.025  # 64^3 carve: ~2 voxel cells
     # aligned extents
     assert np.allclose(pts.max(0), obj.verts.max(0), atol=0.02)
