@@ -28,7 +28,7 @@ stage() {
   return $rc
 }
 
-stage touch --stage touch --touch-epochs 12 || exit 1
+stage touch --stage touch --touch-epochs 6 --touch-limit-train 250 --touch-limit-valid 80 || exit 1
 stage charts --stage charts || exit 1
 stage "vision_$SETTING" --stage vision --setting "$SETTING" || exit 1
 echo "=== touch-value diagnostic ===" | tee -a "$LOGS/driver.log"

@@ -65,8 +65,12 @@ def stage_touch(args, exp):
             touch.state = replicate(state, touch.mesh)
             print("warm-started touch params from", args.warm_start, flush=True)
 
-    train_ds = TouchDataset(args.root, "recon_train", num_samples=2000)
-    valid_ds = TouchDataset(args.root, "valid", num_samples=2000)
+    train_ds = TouchDataset(
+        args.root, "recon_train", num_samples=2000, limit=args.touch_limit_train
+    )
+    valid_ds = TouchDataset(
+        args.root, "valid", num_samples=2000, limit=args.touch_limit_valid
+    )
     print(f"touch items: train={len(train_ds)} valid={len(valid_ds)}", flush=True)
     first = (
         None
@@ -340,6 +344,10 @@ def main():
     ap.add_argument("--warm-start", default=None)
     ap.add_argument("--skip-first-eval", action="store_true")
     ap.add_argument("--touch-epochs", type=int, default=12)
+    ap.add_argument("--touch-limit-train", type=int, default=None,
+                    help="cap recon_train objects for the touch stage (charts "
+                         "are local geometry; a subset converges identically)")
+    ap.add_argument("--touch-limit-valid", type=int, default=None)
     ap.add_argument("--vision-epochs", type=int, default=300)
     ap.add_argument("--auto-epochs", type=int, default=60)
     ap.add_argument("--patience", type=int, default=12)
