@@ -65,11 +65,22 @@ def stage_touch(args, exp):
             touch.state = replicate(state, touch.mesh)
             print("warm-started touch params from", args.warm_start, flush=True)
 
-    train_ds = TouchDataset(
-        args.root, "recon_train", num_samples=2000, limit=args.touch_limit_train
+    def cap_objects(ds, k):
+        # TouchDataset(limit=...) samples globally before intersecting with
+        # the split (reference data_loaders semantics) — for stage budgeting
+        # we want "first k objects OF THE SPLIT", so trim the item list
+        if k:
+            keep = set(sorted({n for n, _, _ in ds.items})[:k])
+            ds.items = [it for it in ds.items if it[0] in keep]
+        return ds
+
+    train_ds = cap_objects(
+        TouchDataset(args.root, "recon_train", num_samples=2000),
+        args.touch_limit_train,
     )
-    valid_ds = TouchDataset(
-        args.root, "valid", num_samples=2000, limit=args.touch_limit_valid
+    valid_ds = cap_objects(
+        TouchDataset(args.root, "valid", num_samples=2000),
+        args.touch_limit_valid,
     )
     print(f"touch items: train={len(train_ds)} valid={len(valid_ds)}", flush=True)
     first = (
