@@ -113,9 +113,11 @@ def stage_charts(args, exp):
         experiments_root=exp, exp_type="touch", exp_id="campaign", eval=True,
     )
     touch = TouchEngine(tcfg, log=False)
-    state = CheckpointManager(tcfg.checkpoint_dir).restore(
-        touch.init_state(__import__("jax").random.PRNGKey(0)), "best"
-    )
+    print("charts: engine built", flush=True)
+    template = touch.init_state(__import__("jax").random.PRNGKey(0))
+    print("charts: template initialized", flush=True)
+    state = CheckpointManager(tcfg.checkpoint_dir).restore(template, "best")
+    print("charts: checkpoint restored", flush=True)
     assert state is not None, "run --stage touch first"
     make_touch_charts(args.root, touch, state, batch=256, num_actions=50)
     write_summary(args.out, "touch_charts_seconds", round(time.time() - t0, 1))
