@@ -82,6 +82,7 @@ class ActiveTouchEnv:
 
         self._predict_touch = jax.jit(self._predict_touch_impl)
         self._reconstruct = jax.jit(self._reconstruct_impl)
+        self._score_chunk = jax.jit(self._score_chunk_impl)
 
     # ------------------------------------------------------------------ jit
     def _predict_touch_impl(self, touch, pos, rot):
@@ -127,6 +128,50 @@ class ActiveTouchEnv:
             )
         return verts, mask, score, latent
 
+    def _score_chunk_impl(
+        self, img, base_charts, base_masks, cand_charts, cand_masks, step,
+        gt_points, key,
+    ):
+        """Score ``kc`` candidate actions per element in ONE device launch:
+        fold the candidate axis onto the batch axis (SURVEY.md §7 step 6 —
+        the structural fix for the reference's per-candidate python loop,
+        ``policies/environment.py:167-213``).
+
+        base: (b, nf, g, 25, ·) committed charts; cand: (b, kc, nf, 25, ·)
+        per-candidate charts for grasp slot ``step`` (traced scalar — the
+        slot select is a mask, so one compilation serves all steps).
+        Returns (b, kc) CD scores.
+        """
+        b, kc = cand_charts.shape[:2]
+        g = base_charts.shape[2]
+        sel = (jnp.arange(g) == step)[None, None, None, :, None, None]
+        charts = jnp.where(
+            sel, cand_charts[:, :, :, None], base_charts[:, None]
+        )  # (b, kc, nf, g, 25, 3)
+        masks = jnp.where(sel, cand_masks[:, :, :, None], base_masks[:, None])
+        bk = b * kc
+        stacked = jnp.concatenate(
+            [charts.reshape(bk, -1, 3), masks.reshape(bk, -1, 1)], axis=-1
+        )
+        prepared = prepare_charts(stacked, self.initial_mesh, bk, use_touch=True)
+        variables = {"params": self.vision_state["params"]}
+        if self.vision_state.get("batch_stats"):
+            variables["batch_stats"] = self.vision_state["batch_stats"]
+        img_k = (
+            jnp.repeat(img, kc, axis=0) if self.config.use_img else None
+        )
+        verts, _ = self.deform.apply(
+            variables, img_k, prepared, self.adj, self.original_adj
+        )
+        score = self.config.loss_coeff * mesh_chamfer_distance(
+            verts,
+            self.faces,
+            jnp.repeat(gt_points, kc, axis=0),
+            key,
+            num=self.config.number_points,
+        )
+        return score.reshape(b, kc)
+
     # ------------------------------------------------------------- episode
     def reset(self, batch: dict) -> dict:
         """Start an episode on a new batch of objects (dict with ``names``
@@ -160,9 +205,69 @@ class ActiveTouchEnv:
         """Score a candidate action without committing state."""
         return self.compute_obs(np.asarray(actions))
 
+    def score_candidates(
+        self, candidates: np.ndarray, chunk: int = 10
+    ) -> np.ndarray:
+        """(b, K) candidate actions → (b, K) scores, without committing
+        state: the score element i would see if it took candidates[i, j] as
+        its next grasp.  Candidates fold onto the batch axis of one jit'd
+        scoring launch per ``chunk`` columns (vs the reference's 50
+        sequential per-candidate evaluations, ``environment.py:167-213``);
+        host simulation of chunk j+1 overlaps the device scoring of chunk j
+        (async dispatch), and repeated (object, action) pairs ride the
+        signal cache.
+        """
+        c = self.config
+        b, k = candidates.shape
+        nf = self.num_fingers
+        names = self.current["batch"]["names"]
+        base_charts = jnp.asarray(self.current["touch_charts"][:, :nf])
+        base_masks = jnp.asarray(self.current["touch_masks"][:, :nf])
+        img = (
+            jnp.asarray(self.current["batch"]["img"])
+            if c.use_img
+            else jnp.zeros((1,))
+        )
+        gt = jnp.asarray(self.current["batch"]["gt_points"])
+
+        kc = min(chunk, k)
+        futures = []
+        for start in range(0, k, kc):
+            cols = candidates[:, start : start + kc]
+            if cols.shape[1] < kc:  # pad so the jit compiles once
+                cols = np.concatenate(
+                    [cols, np.repeat(cols[:, :1], kc - cols.shape[1], 1)], 1
+                )
+            cand_charts = np.zeros((b, kc, nf, 25, 3), np.float32)
+            cand_masks = np.zeros((b, kc, nf, 25, 1), np.float32)
+            for j in range(kc):
+                keys = [(str(names[i]), int(cols[i, j])) for i in range(b)]
+                if any(kk not in self._sig_cache for kk in keys):
+                    self._simulate_and_cache(cols[:, j], keys)
+                for i in range(b):
+                    charts_i, codes_i, pos_i = self._sig_cache[keys[i]]
+                    for jf in range(nf):
+                        code = codes_i[jf]
+                        if code == 2:
+                            cand_charts[i, j, jf] = charts_i[jf]
+                        elif code == 1:
+                            cand_charts[i, j, jf] = pos_i[jf]
+                        cand_masks[i, j, jf] = code
+            self.key, sub = jax.random.split(self.key)
+            futures.append(
+                self._score_chunk(
+                    img, base_charts, base_masks,
+                    jnp.asarray(cand_charts), jnp.asarray(cand_masks),
+                    self.steps, gt, sub,
+                )
+            )
+        scores = np.concatenate([np.asarray(f) for f in futures], axis=1)
+        return scores[:, :k]
+
     def best_step(self, greedy_checks: int | None = None):
-        """Myopic oracle: try candidate actions, commit the best per
-        element (reference ``environment.py:167-213``)."""
+        """Myopic oracle: score candidate actions in batched device
+        launches, commit the best unseen one per element (reference
+        ``environment.py:167-213``)."""
         c = self.config
         b = c.env_batch_size
         if greedy_checks is None or greedy_checks >= c.num_actions:
@@ -180,7 +285,7 @@ class ActiveTouchEnv:
                 if k < greedy_checks:
                     # fewer unseen actions than probe slots (long budgets /
                     # small action spaces): pad with already-tried actions —
-                    # they can never win because the scoring loop below
+                    # they can never win because the selection below
                     # requires mask == 0
                     seen = np.nonzero(self.current["mask"][i] != 0)[0]
                     pool = seen if len(seen) else np.arange(c.num_actions)
@@ -190,25 +295,14 @@ class ActiveTouchEnv:
                     row = np.concatenate([row, pad])
                 candidates[i] = row
 
-        best_action = np.zeros(b, int)
-        best_score = np.full(b, np.inf)
-        k = candidates.shape[1]
-        # software pipeline: the device scores candidate j (async dispatch
-        # — jnp.asarray in _dispatch_obs copies the host chart buffers, so
-        # they are free to be overwritten) while the host simulates
-        # candidate j+1
-        self._apply_signals(candidates[:, 0])
-        for j in range(k):
-            outputs = self._dispatch_obs()
-            if j + 1 < k:
-                self._apply_signals(candidates[:, j + 1])
-            obs = self._finalize_obs(outputs)
-            actions = candidates[:, j]
-            for e in range(b):
-                unseen = self.current["mask"][e][actions[e]] == 0
-                if obs["score"][e] < best_score[e] and unseen:
-                    best_score[e] = obs["score"][e]
-                    best_action[e] = actions[e]
+        scores = self.score_candidates(candidates)
+        seen = self.current["mask"][
+            np.arange(b)[:, None], candidates
+        ] != 0
+        scores = np.where(seen, np.inf, scores)
+        best_action = candidates[np.arange(b), np.argmin(scores, axis=1)]
+        all_seen = np.isinf(scores).all(axis=1)
+        best_action = np.where(all_seen, 0, best_action)  # legacy fallback
         obs, reward, done = self.step(best_action)
         return best_action, obs, reward, done
 

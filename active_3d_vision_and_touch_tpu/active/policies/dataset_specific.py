@@ -150,11 +150,12 @@ class LEBAEngine(_SequenceEngine):
         per_elem = [list(remaining) for _ in range(c.env_batch_size)]
         if c.greedy_checks < c.num_actions:
             per_elem = [rng.sample(r, c.greedy_checks) for r in per_elem]
-        for i in range(len(per_elem[0])):
-            actions = np.asarray([per_elem[j][i] for j in range(c.env_batch_size)])
-            obs = self.env.check_step(actions)
-            norm = obs["score"] / obs["first_score"]
-            for action, s in zip(actions, norm):
+        candidates = np.asarray(per_elem)  # (b, k)
+        scores = self.env.score_candidates(candidates)
+        first = self.env.current["first_score"]
+        norm = scores / first[:, None]
+        for e in range(candidates.shape[0]):
+            for action, s in zip(candidates[e], norm[e]):
                 if self.action_scores[action] >= 1e10:
                     self.action_scores[action] = s
                 else:

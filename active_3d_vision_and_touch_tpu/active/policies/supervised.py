@@ -114,13 +114,12 @@ class SupervisedEngine(PolicyEngine):
                 prev_actions.append(acts)
 
             probe = rng.integers(c.num_actions, size=(c.env_batch_size, probes))
-            targets = np.zeros((c.env_batch_size, probes), np.float32)
-            for j in range(probes):
-                t = self.env.check_step(probe[:, j])
-                if c.normalize:
-                    targets[:, j] = (t["first_score"] - t["score"]) / t["first_score"]
-                else:
-                    targets[:, j] = t["first_score"] - t["score"]
+            scores = self.env.score_candidates(probe)
+            first = obs["first_score"][:, None]
+            if c.normalize:
+                targets = ((first - scores) / first).astype(np.float32)
+            else:
+                targets = (first - scores).astype(np.float32)
 
             loss, grads = self._grad(
                 self.params[step],

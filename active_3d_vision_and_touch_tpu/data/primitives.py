@@ -157,13 +157,6 @@ def blob_union(rng: np.random.Generator) -> Mesh:
 
 GENERATORS = (bumpy_sphere, superquadric, rounded_box, torus, blob_union)
 
-_PART_GENERATORS = (
-    lambda rng: bumpy_sphere(rng, subdivisions=2),
-    lambda rng: superquadric(rng, resolution=20),
-    lambda rng: rounded_box(rng, subdivisions=2),
-    lambda rng: torus(rng, resolution=18),
-)
-
 
 def _random_rotation(rng: np.random.Generator) -> np.ndarray:
     from scipy.spatial.transform import Rotation as R

@@ -207,8 +207,9 @@ def _chamfer_bwd(use_pallas, res, g):
         # training shapes (ops/segsum docstring has the measurements)
         from active_3d_vision_and_touch_tpu.ops.segsum import scatter_add_3
 
-        dx2 = -scatter_add_3(iy, gy * diff2, n, interpret=False)
-        dy1 = -scatter_add_3(ix, gx * diff1, m, interpret=False)
+        interp = jax.default_backend() != "tpu"
+        dx2 = -scatter_add_3(iy, gy * diff2, n, interpret=interp)
+        dy1 = -scatter_add_3(ix, gx * diff1, m, interpret=interp)
     else:
         dx2 = -jax.vmap(
             lambda idx, val: jnp.zeros((n, 3), x.dtype).at[idx].add(val)

@@ -77,7 +77,9 @@ def segment_accumulate_sorted(
 ) -> jnp.ndarray:
     """(B, M) sorted int32 ids + (B, M, 3) values → (B, num_segments, 3)
     with out[b, s] = Σ_{i: idx[b,i]=s} vals[b, i].  Ids must be sorted
-    ascending per row; out-of-range ids (≥ num_segments) are dropped."""
+    ascending per row; out-of-range ids (≥ num_segments) are dropped — ids
+    in [num_segments, n_tiles*TO) accumulate into padded rows that the
+    final slice discards, larger ids match no tile window at all."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, m = idx_sorted.shape
@@ -114,7 +116,7 @@ def segment_accumulate_sorted(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, _TO, 3), lambda b_, t_, *_: (b_, t_, 0), memory_space=pltpu.VMEM
         ),

@@ -14,7 +14,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SETUP = """\
 import os, sys
-sys.path.insert(0, os.path.abspath('../..') if os.path.basename(os.getcwd()) in ('Reconstruction', 'Policies', 'Baselines') else os.path.abspath('..'))
+sys.path.insert(0, os.path.abspath('../..') if os.path.basename(os.getcwd()) in ('Reconstruction', 'Policies', 'Baselines', 'dataset_specific') else os.path.abspath('..'))
 while not os.path.exists('data_mini'):
     os.chdir('..')
 import numpy as np
@@ -197,11 +197,14 @@ def policy_nb(title, name, train_snippet=""):
         code(SETUP),
         code(f"""\
 from active_3d_vision_and_touch_tpu.core.config import PolicyConfig
-from active_3d_vision_and_touch_tpu.active.policies import simple, nearest, supervised, ddqn
+from active_3d_vision_and_touch_tpu.active.policies import (
+    simple, nearest, supervised, ddqn, dataset_specific)
 engines = {{'random': simple.RandomEngine, 'even': simple.EvenEngine,
            'greedy': simple.GreedyEngine,
            'nearest_neighbor': nearest.NearestNeighborEngine,
-           'supervised': supervised.SupervisedEngine, 'ddqn': ddqn.DDQNEngine}}
+           'supervised': supervised.SupervisedEngine, 'ddqn': ddqn.DDQNEngine,
+           'mfba': dataset_specific.MFBAEngine,
+           'leba': dataset_specific.LEBAEngine}}
 name = {name!r}
 cfg = PolicyConfig(
     use_img=False, use_touch=True, finger=False, number_points=2000,
@@ -234,6 +237,14 @@ NOTEBOOKS["notebook/Policies/supervised.ipynb"] = policy_nb(
 NOTEBOOKS["notebook/Policies/DDQN.ipynb"] = policy_nb(
     "DDQN", "ddqn",
     "stats = engine.train_epoch(max_batches=1)\nprint(stats)")
+NOTEBOOKS["notebook/Policies/dataset_specific/MFBA.ipynb"] = policy_nb(
+    "MFBA", "mfba",
+    "engine.train(train_fraction=1.0, max_batches=1)\n"
+    "print('learned sequence:', engine.chosen_actions)")
+NOTEBOOKS["notebook/Policies/dataset_specific/LEBA.ipynb"] = policy_nb(
+    "LEBA", "leba",
+    "engine.train(train_fraction=1.0, max_batches=1)\n"
+    "print('learned sequence:', engine.chosen_actions)")
 
 
 def main():

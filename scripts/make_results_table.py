@@ -58,9 +58,8 @@ def main():
         row = [f"| {setting} | ours "]
         for pol, _ in COLUMNS:
             cell = block.get(pol)
-            row.append(
-                f"| {cell['pct_cd_remaining']:.1f} " if cell else "| — "
-            )
+            val = cell.get("pct_cd_remaining") if cell else None
+            row.append(f"| {val:.1f} " if val is not None else "| — ")
         lines.append("".join(row) + "|")
         ref = REFERENCE.get(setting)
         if ref:

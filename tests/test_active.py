@@ -143,6 +143,25 @@ def test_best_step_more_checks_than_unseen(world):
         assert int(a) in unseen_before  # padding can never win
 
 
+def test_score_candidates_matches_committed_step(world):
+    """Batched candidate scoring must agree (up to mesh-sampling noise)
+    with the score observed after actually committing the same action, and
+    must not mutate episode state."""
+    tmp, config, env, batch = world
+    env.reset(batch)
+    mask_before = env.current["mask"].copy()
+    cand = np.array([[1, 2, 3], [2, 3, 1]])
+    scores = env.score_candidates(cand, chunk=2)  # chunk<k exercises padding
+    assert scores.shape == (B, 3)
+    assert np.isfinite(scores).all()
+    assert np.array_equal(env.current["mask"], mask_before)
+    assert env.steps == 0
+
+    obs2, _, _ = env.step(np.array([1, 2]))
+    rel = np.abs(scores[:, 0] - obs2["score"]) / np.abs(obs2["score"])
+    assert (rel < 0.35).all(), (scores[:, 0], obs2["score"])
+
+
 def test_samplers_never_repeat():
     mask = np.zeros((3, 50))
     rs = RandomSampler(50, seed=0)
