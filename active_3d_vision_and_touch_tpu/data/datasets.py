@@ -22,6 +22,40 @@ import numpy as np
 from active_3d_vision_and_touch_tpu.data.generation import object_dirs
 
 
+class _ArrayCache:
+    """Process-wide read-only cache of np.load results.
+
+    The vision/active datasets re-read the same per-object files every
+    epoch (cloud, chart cache, image); on this host the loader threads —
+    not the device — bound the epoch, so epochs 2+ should come from RAM.
+    Bounded by CHART_CACHE_BYTES (default 8 GB); entries are immutable —
+    callers must copy/index, never mutate.
+    """
+
+    def __init__(self, cap_bytes: int | None = None):
+        self.cap = cap_bytes or int(
+            os.environ.get("CHART_CACHE_BYTES", 8 * 1024**3)
+        )
+        self.used = 0
+        self.data: dict = {}
+        self.lock = threading.Lock()
+
+    def load(self, path: str) -> np.ndarray:
+        with self.lock:
+            arr = self.data.get(path)
+        if arr is None:
+            arr = np.load(path)
+            arr.setflags(write=False)
+            with self.lock:
+                if self.used + arr.nbytes <= self.cap and path not in self.data:
+                    self.data[path] = arr
+                    self.used += arr.nbytes
+        return arr
+
+
+_array_cache = _ArrayCache()
+
+
 def load_split(root: str) -> dict:
     return np.load(os.path.join(root, "data_split.npy"), allow_pickle=True).item()
 
@@ -78,8 +112,8 @@ class TouchDataset:
         name, grasp, finger = self.items[index]
         gdir = os.path.join(self.dirs["grasp_info"], name, grasp)
         rng = np.random.default_rng(index)
-        touch = np.load(os.path.join(gdir, f"{finger}_touch.npy"))
-        points = np.load(os.path.join(gdir, f"{finger}_points.npy"))
+        touch = _array_cache.load(os.path.join(gdir, f"{finger}_touch.npy"))
+        points = _array_cache.load(os.path.join(gdir, f"{finger}_points.npy"))
         ref = np.load(
             os.path.join(gdir, f"{finger}_ref_frame.npy"), allow_pickle=True
         ).item()
@@ -173,16 +207,20 @@ class VisionDataset:
         rng = np.random.default_rng(zlib.crc32(f"{name}:{index}".encode()))
         data = {"names": (name, tuple(grasps))}
 
-        points = np.load(os.path.join(self.dirs["point_cloud_info"], name + ".npy"))
-        rng.shuffle(points)
-        data["gt_points"] = points[: self.number_points].astype(np.float32)
+        points = _array_cache.load(
+            os.path.join(self.dirs["point_cloud_info"], name + ".npy")
+        )
+        pick = rng.permutation(points.shape[0])[: self.number_points]
+        data["gt_points"] = points[pick].astype(np.float32)
 
         if self.use_img:
-            img = np.load(os.path.join(self.dirs["images_colourful"], name + ".npy"))
+            img = _array_cache.load(
+                os.path.join(self.dirs["images_colourful"], name + ".npy")
+            )
             data["img"] = img.astype(np.float32) / 255.0
 
         if self.use_touch:
-            all_charts = np.load(
+            all_charts = _array_cache.load(
                 os.path.join(self.dirs["touch_charts"], name, "touch_charts.npy")
             ).reshape(self.num_actions, 4, 25, 4)
             picked = all_charts[grasps]  # (k, 4, 25, 4)
@@ -229,14 +267,18 @@ class ActiveDataset:
     def __getitem__(self, index: int) -> dict:
         name = self.names[index]
         rng = np.random.default_rng(zlib.crc32(str(name).encode()))
-        points = np.load(os.path.join(self.dirs["point_cloud_info"], name + ".npy"))
-        rng.shuffle(points)
+        points = _array_cache.load(
+            os.path.join(self.dirs["point_cloud_info"], name + ".npy")
+        )
+        pick = rng.permutation(points.shape[0])[: self.number_points]
         data = {
             "names": os.path.join(self.dirs["object_info"], name),
-            "gt_points": points[: self.number_points].astype(np.float32),
+            "gt_points": points[pick].astype(np.float32),
         }
         if self.use_img:
-            img = np.load(os.path.join(self.dirs["images_colourful"], name + ".npy"))
+            img = _array_cache.load(
+                os.path.join(self.dirs["images_colourful"], name + ".npy")
+            )
             data["img"] = img.astype(np.float32) / 255.0
         return data
 

@@ -238,30 +238,77 @@ def _warp(verts: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     return (v @ frame).astype(np.float32)
 
 
+def lobed_blob(rng: np.random.Generator, subdivisions: int = 3) -> Mesh:
+    """Sphere with few LARGE-amplitude, broad radial lobes, anisotropically
+    squashed and moderately stretched.  The round-3 touch-dominance family:
+    the per-family diagnostic on the round-2 model
+    (results_campaign/touch_value_by_family.json) showed big-lobe shapes
+    carry ~4x the touch signal of stretched smooth primitives (63% vs 90%
+    CD remaining after 5 grasps) — lobes are both unhedgeable by a mean
+    -shape prior AND locally revealed by a single grasp."""
+    base = icosphere(subdivisions)
+    d = base.verts / np.linalg.norm(base.verts, axis=1, keepdims=True)
+    k = int(rng.integers(2, 11))
+    centers = rng.normal(size=(k, 3))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    amps = rng.uniform(-0.5, 1.5, size=k)
+    widths = rng.uniform(1.2, 5.0, size=k)
+    cos = d @ centers.T
+    r = np.maximum(1.0 + (amps * np.exp(widths * (cos - 1.0))).sum(axis=1), 0.25)
+    verts = d * r[:, None]
+    verts = verts * rng.uniform(0.45, 1.0, size=(1, 3))
+    stretch = np.ones(3)
+    stretch[int(rng.integers(3))] = rng.uniform(1.0, 2.2)
+    return Mesh((verts * stretch).astype(np.float32), base.faces)
+
+
+def multi_blob(rng: np.random.Generator) -> Mesh:
+    """Union of 2-4 overlapping lobed blobs — one connected lumpy mass
+    (blob_union generalized; kept overlapping rather than arm-like: the
+    protruding-arm compositions measured the WORST touch value)."""
+    parts = []
+    k = int(rng.integers(2, 5))
+    verts, faces = None, None
+    for j in range(k):
+        p = lobed_blob(rng, subdivisions=2)
+        pv = p.verts * float(rng.uniform(0.45, 1.0 if j else 1.2))
+        if verts is None:
+            verts, faces = pv, p.faces
+        else:
+            offset = rng.uniform(-0.8, 0.8, size=3).astype(np.float32)
+            faces = np.concatenate([faces, p.faces + len(verts)])
+            verts = np.concatenate([verts, pv + offset])
+    return Mesh(verts.astype(np.float32), faces)
+
+
 def random_object(seed: int, scale: float = 3.1) -> Mesh:
     """Deterministic procedural object, preprocessed like dataset objects
     (centered, max extent = 1/scale — reference ``data_making.py:76-95``).
 
-    Distribution design: the reference trains on ABC CAD parts whose gross
-    -shape entropy makes an input-free prior ~4-6x worse than the trained
-    -with-touch result (BASELINE.md T_G ratios) — that headroom is what
-    active touch selection optimizes.  Single centered blobs saturate (a
-    mean-shape prior reached the representational floor within ~2%:
-    results_rot/touch_value.json flat at CD≈17).  This mixture therefore
-    maximizes a measured medoid-prior CD proxy while keeping surfaces
-    locally smooth (low atlas floor): 45% strongly stretched smooth
-    primitives, 35% multi-part compositions, 20% round-1 bumpy families,
-    all through 0-2 nonlinear warps and a random global rotation."""
+    Distribution design (v3): the reference trains on ABC CAD parts whose
+    gross-shape entropy makes an input-free prior ~4-6x worse than the
+    trained-with-touch result (BASELINE.md T_G ratios) — that headroom is
+    what active touch selection optimizes.  The round-2 mixture leaned on
+    stretched smooth primitives and multi-part compositions; the per-family
+    diagnostic (results_campaign/touch_value_by_family.json) measured those
+    at 89.5% / 93.5% CD remaining after 5 grasps while the big-lobe legacy
+    family reached 63.1% with the highest prior CD — touch-valuable entropy
+    comes from broad radial lobes, not eccentricity or part placement.  v3
+    therefore mixes 55% lobed blobs, 25% overlapping multi-blob unions, 10%
+    stretched smooth singles, 10% round-1 families, through 0-1 nonlinear
+    warps and a random global rotation."""
     rng = np.random.default_rng(seed)
     u = rng.uniform()
-    if u < 0.45:
-        mesh = eccentric_single(rng)
+    if u < 0.55:
+        mesh = lobed_blob(rng)
     elif u < 0.80:
-        mesh = composed_object(rng)
+        mesh = multi_blob(rng)
+    elif u < 0.90:
+        mesh = eccentric_single(rng)
     else:
         mesh = GENERATORS[int(rng.integers(len(GENERATORS)))](rng)
     verts = mesh.verts
-    for _ in range(int(rng.integers(0, 3))):
+    for _ in range(int(rng.integers(0, 2))):
         verts = _warp(verts, rng)
     verts = verts @ _random_rotation(rng).T.astype(np.float32)
     verts = scale_points(verts, scale=scale)

@@ -229,13 +229,17 @@ def chamfer_distance_sharded(
     mesh,
     axis: str = "dp",
     use_pallas: bool | None = None,
+    nn: str = "exact",
 ) -> jnp.ndarray:
     """Chamfer distance with the *point* dimension of ``y`` sharded over a
     device mesh — the nearest-neighbor analog of sequence parallelism
     (SURVEY.md §2.4: "shard the point dimension and psum-combine running
     minima").  Each device scans its shard of ``y`` against all of ``x``
     (min-combined over ICI) and its shard's own queries against the full
-    ``x`` (sum-combined).  Exact same value as :func:`chamfer_distance`.
+    ``x`` (sum-combined).  Exact same value as :func:`chamfer_distance`
+    when ``nn="exact"``; ``nn="clustered"`` runs the Morton-pruned kernel
+    per shard (each device prunes within its own shard — same
+    neighbor-agreement contract as the unsharded clustered NN).
 
     x: (B, N, 3) replicated; y: (B, M, 3) with M divisible by the mesh
     size; returns (B,) replicated.
@@ -248,12 +252,21 @@ def chamfer_distance_sharded(
     m = y.shape[1]
     assert m % n_dev == 0, f"point dim {m} not divisible by mesh size {n_dev}"
 
+    if nn == "clustered":
+        from active_3d_vision_and_touch_tpu.ops.chamfer_cluster import (
+            min_dists_clustered,
+        )
+
+        nn_fn = lambda a, b: min_dists_clustered(a, b)  # noqa: E731
+    else:
+        nn_fn = lambda a, b: _min_dists(a, b, use_pallas)  # noqa: E731
+
     def local(x_full, y_shard):
         # direction 1: every x against the local y shard, min over devices
-        dx_local, _ = _min_dists(x_full, y_shard, use_pallas)
+        dx_local, _ = nn_fn(x_full, y_shard)
         dx = jax.lax.pmin(dx_local, axis)
         # direction 2: local y queries against full x, averaged over devices
-        dy_local, _ = _min_dists(y_shard, x_full, use_pallas)
+        dy_local, _ = nn_fn(y_shard, x_full)
         dy_sum = jax.lax.psum(jnp.sum(dy_local, axis=1), axis)
         return jnp.mean(dx, axis=1) + dy_sum / m
 
@@ -262,6 +275,9 @@ def chamfer_distance_sharded(
         mesh=mesh,
         in_specs=(P(), P(None, axis, None)),
         out_specs=P(),
+        # pallas_call outputs carry no varying-mesh-axes annotation; skip
+        # the vma check (the clustered kernel is per-shard by construction)
+        check_vma=False,
     )(x, y)
 
 
@@ -287,8 +303,13 @@ def mesh_chamfer_distance(
 
     if nn == "clustered":
         from active_3d_vision_and_touch_tpu.ops.chamfer_cluster import (
-            chamfer_distance_clustered as cd_fn,
+            chamfer_clustered_tiled_gt,
         )
+
+        # gt is shared across the folded repeats: the tiled-gt entry sorts
+        # the B distinct clouds once (the Morton sort is the dominant prep
+        # stage) and tiles the sorted frame
+        cd_fn = lambda a, b: chamfer_clustered_tiled_gt(a, b, repeat)  # noqa: E731
     elif nn == "xla":
         cd_fn = lambda a, b: chamfer_distance(a, b, False)  # noqa: E731
     else:
@@ -306,5 +327,7 @@ def mesh_chamfer_distance(
     b = verts.shape[0]
     pts = batch_sample(verts, faces, key, num=num * repeat)  # (B, R*num, 3)
     preds = jnp.concatenate(jnp.split(pts, repeat, axis=1))  # (R*B, num, 3)
+    if nn == "clustered":
+        return jnp.mean(cd_fn(preds, gt_points).reshape(repeat, b), axis=0)
     gt_t = jnp.tile(gt_points, (repeat, 1, 1))
     return jnp.mean(cd_fn(preds, gt_t).reshape(repeat, b), axis=0)

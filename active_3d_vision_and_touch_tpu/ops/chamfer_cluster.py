@@ -302,12 +302,20 @@ def min_dists_clustered(
     return _unscramble(i_sorted, xperm, yperm, x, y)
 
 
-def _pair_min_dists_sorted(x, y, chunk_size, chunks_per_tile, interpret=None):
+def _pair_min_dists_sorted(
+    x, y, chunk_size, chunks_per_tile, interpret=None, y_sorted=None
+):
     """Both sweep directions off ONE Morton sort per cloud, everything in
     the SORTED frame: the CD value is a mean over queries, so it never
     needs the original ordering — skipping the per-direction index
     unscramble (a (B,N) gather + scatter each) moves that cost to a single
-    permutation application in the backward pass."""
+    permutation application in the backward pass.
+
+    ``y_sorted=(ys, yperm)`` skips the y-side sort — the 3-repeat training
+    loss tiles the SAME gt cloud across repeats, and the Morton argsort is
+    the single most expensive prep stage (34 ms per 16-cloud batch at 30k
+    points, scripts/profile_chamfer.py), so sorting the 16 distinct clouds
+    and tiling the sorted result saves ~2/3 of the y-side sort cost."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert _TN % chunk_size == 0, (
@@ -316,7 +324,7 @@ def _pair_min_dists_sorted(x, y, chunk_size, chunks_per_tile, interpret=None):
     )
     n, m = x.shape[1], y.shape[1]
     xs, xperm = _sort_by_morton(x)
-    ys, yperm = _sort_by_morton(y)
+    ys, yperm = y_sorted if y_sorted is not None else _sort_by_morton(y)
     xs_p = _edge_pad_points(xs, _TN)
     ys_p = _edge_pad_points(ys, _TN)
 
@@ -386,3 +394,57 @@ def _bwd(chunk_size, chunks_per_tile, res, g):
 
 
 chamfer_distance_clustered.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def chamfer_clustered_tiled_gt(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    repeat: int,
+    chunk_size: int = 128,
+    chunks_per_tile: int = 24,
+):
+    """Clustered CD where x is (R·B, N, 3) predictions and y is the (B, M,
+    3) ground-truth cloud shared by the R repeats (the 3-repeat training
+    loss, ``ops.chamfer.mesh_chamfer_distance``).  Equivalent to
+    ``chamfer_distance_clustered(x, tile(y, R))`` but Morton-sorts the B
+    distinct gt clouds once and tiles the SORTED result — the sort is the
+    dominant prep cost (profile_chamfer.py).  Gradient flows to x only
+    (gt is data in every caller); the y cotangent is returned as zeros.
+    """
+    cd, _ = _tiled_fwd(x, y, repeat, chunk_size, chunks_per_tile)
+    return cd
+
+
+def _tiled_fwd(x, y, repeat, chunk_size, chunks_per_tile):
+    ys1, yperm1 = _sort_by_morton(y)
+    ys = jnp.tile(ys1, (repeat, 1, 1))
+    yperm = jnp.tile(yperm1, (repeat, 1))
+    res, dx_s, dy_s = _pair_min_dists_sorted(
+        x, ys, chunk_size, chunks_per_tile, y_sorted=(ys, yperm)
+    )
+    return jnp.mean(dx_s, axis=1) + jnp.mean(dy_s, axis=1), (res, y.shape)
+
+
+def _tiled_bwd(repeat, chunk_size, chunks_per_tile, resy, g):
+    from active_3d_vision_and_touch_tpu.ops.segsum import scatter_add_3
+
+    res, y_shape = resy
+    xs, ys, ix_s, iy_s, xperm, yperm = res
+    n, m = xs.shape[1], ys.shape[1]
+    gx = (g / n)[:, None, None]
+    gy = (g / m)[:, None, None]
+
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    y_near = take(ys, ix_s)
+    x_near = take(xs, iy_s)
+    diff1 = gx * 2.0 * (xs - y_near)
+    diff2 = gy * 2.0 * (ys - x_near)
+
+    idx_x = jnp.concatenate([xperm, take(xperm, iy_s)], axis=1)
+    val_x = jnp.concatenate([diff1, -diff2], axis=1)
+    dx = scatter_add_3(idx_x, val_x, n)
+    return dx, jnp.zeros(y_shape, x_near.dtype)
+
+
+chamfer_clustered_tiled_gt.defvjp(_tiled_fwd, _tiled_bwd)

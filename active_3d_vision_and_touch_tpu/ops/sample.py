@@ -83,11 +83,17 @@ def _interpolate(verts, idx, w, faces):
 
 
 def _interpolate_fwd(verts, idx, w, faces):
-    return _interpolate(verts, idx, w, faces), (verts, idx, w)
+    tri = jnp.take(faces, idx, axis=0)
+    pts = jax.vmap(lambda v, t: v[t])(verts, tri)  # (B, num, 3, 3)
+    out = jnp.sum(w[..., None] * pts, axis=2)
+    # keep the gathered corner positions as a residual: dw needs them, and
+    # re-gathering (B, num, 3) rows twice in the backward costs more than
+    # carrying the residual at training shapes
+    return out, (verts, pts, idx, w)
 
 
 def _interpolate_bwd(faces, res, g):
-    verts, idx, w = res
+    verts, pts, idx, w = res
     b, num, _ = g.shape
     f = faces.shape[0]
     v = verts.shape[1]
@@ -113,9 +119,9 @@ def _interpolate_bwd(faces, res, g):
         .at[faces[:, 1]].add(s[:, 1])
         .at[faces[:, 2]].add(s[:, 2])
     )(seg)
-    dw = jnp.einsum(
-        "bnc,bnkc->bnk", g, jax.vmap(lambda vv, t: vv[t])(verts, jnp.take(faces, idx, axis=0))
-    )
+    # elementwise + reduce, not einsum: a 3-length contraction dispatches a
+    # degenerate matmul (same pitfall as the forward's weighted sum)
+    dw = jnp.sum(g[:, :, None, :] * pts, axis=-1)
     return dverts, None, dw
 
 

@@ -74,7 +74,7 @@ class ReconEngine:
         return state
 
     def run_epoch(self, loader, train: bool = True) -> float:
-        total, count = 0.0, 0
+        losses = []
         step_base = self.epoch * 100_000
         for i, batch in enumerate(loader):
             # metadata (names) stays on host; jit steps take arrays only
@@ -85,9 +85,13 @@ class ReconEngine:
                 self.state, loss = self._jit_train(self.state, batch, key)
             else:
                 loss = self._jit_eval(self.state, batch, key)
-            total += float(np.asarray(loss))
-            count += 1
-        return total / max(count, 1)
+            # keep the loss on device: fetching here would sync every step
+            # (~20 ms device→host fence through the axon tunnel) and stall
+            # the dispatch pipeline behind the host loader
+            losses.append(loss)
+        if not losses:
+            return 0.0
+        return float(np.mean([np.asarray(l) for l in losses]))
 
     def fit(self, train_loader_fn, valid_loader_fn, epochs: int | None = None):
         """Full training run; loaders are zero-arg callables returning fresh

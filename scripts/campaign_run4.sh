@@ -1,0 +1,66 @@
+#!/bin/bash
+# Round-3 parity campaign on the v3 (lobed) dataset: all 4 experiment
+# settings, multi-seed learned policies, DDQN_m column.  Each stage is
+# resumable (checkpoints + per-seed summary entries), so re-running this
+# script continues where it stopped.
+#
+# Usage: [ROOT=data_r3] [OUT=results_r3] [SETTINGS="t_g t_p v_t_g v_t_p"]
+#        bash scripts/campaign_run4.sh
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+ROOT=${ROOT:-data_r3}
+OUT=${OUT:-results_r3}
+SETTINGS=${SETTINGS:-"t_g t_p v_t_g v_t_p"}
+SEEDS=${SEEDS:-"0,1"}
+VISION_EPOCHS=${VISION_EPOCHS:-80}
+VISION_EPOCHS_AUX=${VISION_EPOCHS_AUX:-60}   # non-t_g settings
+DDQN_EPOCHS=${DDQN_EPOCHS:-4}
+TRAIN_BATCHES=${TRAIN_BATCHES:-50}
+LOGS="$OUT/logs"
+mkdir -p "$LOGS"
+
+if [ -f /tmp/r3_gen.pid ] && kill -0 "$(cat /tmp/r3_gen.pid)" 2>/dev/null; then
+  echo "waiting for dataset generation ($(cat /tmp/r3_gen.pid))..."
+  while kill -0 "$(cat /tmp/r3_gen.pid)" 2>/dev/null; do sleep 60; done
+fi
+echo "generation done: $(ls "$ROOT"/point_cloud_info 2>/dev/null | wc -l) clouds"
+
+stage() {
+  local name=$1; shift
+  echo "=== stage $name: $(date -u +%H:%M:%S) ===" | tee -a "$LOGS/driver.log"
+  python scripts/campaign_train.py --root "$ROOT" --out "$OUT" "$@" \
+    >> "$LOGS/$name.log" 2>&1
+  local rc=$?
+  echo "=== stage $name rc=$rc: $(date -u +%H:%M:%S) ===" | tee -a "$LOGS/driver.log"
+  return $rc
+}
+
+# touch charts are local geometry: warm-start from the round-2 model and
+# fine-tune briefly on the lobed distribution
+stage touch --stage touch --touch-epochs 6 --touch-limit-train 300 \
+  --touch-limit-valid 80 --skip-first-eval \
+  --warm-start results_campaign/exp/checkpoint/touch/campaign || exit 1
+stage charts --stage charts || exit 1
+
+for S in $SETTINGS; do
+  VE="$VISION_EPOCHS"; [ "$S" != t_g ] && VE="$VISION_EPOCHS_AUX"
+  stage "vision_$S" --stage vision --setting "$S" \
+    --vision-epochs "$VE" --patience 10 || exit 1
+  if [ "$S" = t_g ]; then
+    echo "=== touch-value diagnostic ===" | tee -a "$LOGS/driver.log"
+    python scripts/diagnose_touch_value.py --root "$ROOT" --out "$OUT" \
+      --exp-id campaign_t_g >> "$LOGS/diagnose.log" 2>&1 || true
+    python scripts/diagnose_touch_by_family.py --root "$ROOT" --out "$OUT" \
+      --exp-id campaign_t_g --gen-seed 11 --dist-version 3 \
+      >> "$LOGS/diagnose.log" 2>&1 || true
+  fi
+  stage "auto_$S" --stage auto --setting "$S" --auto-epochs 25 || exit 1
+  stage "policies_$S" --stage policies --setting "$S" --greedy-checks 50 \
+    --seeds "$SEEDS" --ddqn-epochs "$DDQN_EPOCHS" \
+    --policy-train-batches "$TRAIN_BATCHES" --seq-train-fraction 0.4 \
+    --epsilon-decay 0.996 || exit 1
+  python scripts/make_results_table.py --out "$OUT" >> "$LOGS/driver.log" 2>&1 || true
+  echo "campaign ($S) complete" | tee -a "$LOGS/driver.log"
+done
+echo "campaign run4 complete" | tee -a "$LOGS/driver.log"

@@ -135,6 +135,7 @@ def stage_vision(args, exp):
     vcfg = VisionConfig(
         use_img=use_img, use_touch=use_touch, finger=finger,
         batch_size=16, number_points=args.number_points,
+        loss_nn=args.loss_nn,  # exact beats clustered below ~15k points
         experiments_root=exp, exp_type="vision",
         exp_id=f"campaign_{args.setting}", patience=args.patience, lr=3e-4,
     )
@@ -202,6 +203,7 @@ def stage_auto(args, exp):
     acfg = AutoencoderConfig(
         use_img=use_img, use_touch=use_touch, finger=finger, batch_size=16,
         number_points=args.number_points, encoding_size=200,
+        loss_nn=args.loss_nn,
         experiments_root=exp, exp_type="auto",
         exp_id=f"campaign_{args.setting}", patience=max(args.patience // 2, 3),
     )
@@ -298,21 +300,13 @@ def stage_policies(args, exp):
         experiments_root=exp, eval=True,
         hidden_dim=200, layers=5, lr=1e-3,
         burn_in=20, train_batch_size=16, mem_capacity=300,
-        epsilon_decay=0.9999,
+        epsilon_decay=args.epsilon_decay,
     )
     env = ActiveTouchEnv(
         PolicyConfig(**pcfg_base), tstate, vstate, astate, auto_model
     )
 
-    def run(name, engine_cls, train_fn=None):
-        t1 = time.time()
-        cfg = PolicyConfig(**pcfg_base, exp_id=f"campaign_{args.setting}_{name}")
-        engine = engine_cls(cfg, data_root=args.root, env=env)
-        if train_fn is not None:
-            train_fn(engine)
-        result = engine.evaluate("test", max_batches=args.eval_batches)
-        entry = result.summary()
-        entry["seconds"] = round(time.time() - t1, 1)
+    def write_entry(name, entry):
         path = os.path.join(args.out, "summary.json")
         summary = json.load(open(path)) if os.path.exists(path) else {}
         summary.setdefault(f"policies_{args.setting}", {})[name] = entry
@@ -320,31 +314,79 @@ def stage_policies(args, exp):
             json.dump(summary, f, indent=2)
         print(name, entry, flush=True)
 
+    def read_entry(name):
+        path = os.path.join(args.out, "summary.json")
+        summary = json.load(open(path)) if os.path.exists(path) else {}
+        return summary.get(f"policies_{args.setting}", {}).get(name)
+
+    def run(name, engine_cls, train_fn=None, seeds=(0,), overrides=None):
+        """Train+eval one policy per seed; entry = mean ± std over seeds
+        (reference protocol: mean/std over 5 trained models,
+        README.md:176-181).  Per-seed results accumulate in the entry so
+        an interrupted stage resumes at the missing seed."""
+        entry = read_entry(name) or {"seeds": {}}
+        entry.setdefault("seeds", {})
+        for seed in seeds:
+            if str(seed) in entry["seeds"]:
+                continue
+            t1 = time.time()
+            cfg_kw = dict(pcfg_base, seed=seed,
+                          exp_id=f"campaign_{args.setting}_{name}_s{seed}")
+            cfg_kw.update(overrides or {})
+            engine = engine_cls(PolicyConfig(**cfg_kw), data_root=args.root, env=env)
+            if train_fn is not None:
+                train_fn(engine)
+            result = engine.evaluate("test", max_batches=args.eval_batches)
+            per_seed = result.summary()
+            per_seed["seconds"] = round(time.time() - t1, 1)
+            entry["seeds"][str(seed)] = per_seed
+            vals = [s["pct_cd_remaining"] for s in entry["seeds"].values()]
+            entry["pct_cd_remaining"] = float(np.mean(vals))
+            entry["pct_cd_std"] = float(np.std(vals))
+            entry["mean_reward"] = float(np.mean(
+                [s["mean_reward"] for s in entry["seeds"].values()]
+            ))
+            entry["episodes"] = entry["seeds"][str(seed)]["episodes"]
+            write_entry(name, entry)
+
     only = set(args.policies.split(",")) if args.policies else None
 
     def want(name):
         return only is None or name in only
 
     tb = args.policy_train_batches
+    seeds = tuple(int(s) for s in args.seeds.split(","))
+    bseeds = tuple(int(s) for s in args.baseline_seeds.split(","))
+    de = args.ddqn_epochs
     if want("random"):
-        run("random", RandomEngine)
+        run("random", RandomEngine, seeds=bseeds)
     if want("even"):
-        run("even", EvenEngine)
-    if want("greedy"):
+        run("even", EvenEngine, seeds=bseeds)
+    if want("greedy"):  # deterministic candidate sweep: one seed (ref ±0.00)
         run("greedy", GreedyEngine)
     if want("mfba"):
-        run("mfba", MFBAEngine, lambda e: e.train(train_fraction=1.0, max_batches=tb))
+        run("mfba", MFBAEngine,
+            lambda e: e.train(train_fraction=args.seq_train_fraction,
+                              max_batches=tb), seeds=seeds[:1])
     if want("leba"):
-        run("leba", LEBAEngine, lambda e: e.train(train_fraction=1.0, max_batches=tb))
+        run("leba", LEBAEngine,
+            lambda e: e.train(train_fraction=args.seq_train_fraction,
+                              max_batches=tb), seeds=seeds[:1])
     if astate is not None and want("nearest_neighbor"):
         run("nearest_neighbor", NearestNeighborEngine,
-            lambda e: e.train(train_fraction=1.0, max_batches=tb))
+            lambda e: e.train(train_fraction=1.0, max_batches=tb), seeds=seeds)
     if astate is not None and want("supervised"):
         run("supervised", SupervisedEngine,
-            lambda e: e.train(max_batches_per_step=tb))
+            lambda e: e.train(max_batches_per_step=tb), seeds=seeds)
     if astate is not None and want("ddqn"):
         run("ddqn", DDQNEngine,
-            lambda e: [e.train_epoch(max_batches=tb) for _ in range(args.ddqn_epochs)])
+            lambda e: [e.train_epoch(max_batches=tb) for _ in range(de)],
+            seeds=seeds)
+    if want("ddqn_m"):  # mesh-observation DDQN (reference DDQN/model.py:65)
+        run("ddqn_m", DDQNEngine,
+            lambda e: [e.train_epoch(max_batches=tb) for _ in range(de)],
+            seeds=seeds[: max(1, len(seeds) - 1)],
+            overrides={"use_latent": False, "use_recon": True})
 
 
 def main():
@@ -370,6 +412,18 @@ def main():
     ap.add_argument("--eval-batches", type=int, default=None)
     ap.add_argument("--policy-train-batches", type=int, default=None)
     ap.add_argument("--ddqn-epochs", type=int, default=4)
+    ap.add_argument("--seeds", default="0",
+                    help="comma list: one trained model per seed for the "
+                         "learned policies (reference: 5-model mean±std)")
+    ap.add_argument("--baseline-seeds", default="0,1,2")
+    ap.add_argument("--seq-train-fraction", type=float, default=1.0,
+                    help="fraction of RL_train scanned per MFBA/LEBA step "
+                         "(reference default 0.4)")
+    ap.add_argument("--epsilon-decay", type=float, default=0.9999)
+    ap.add_argument("--loss-nn", default="exact",
+                    help="training-loss NN kernel; measured at bs16/10k pts:"
+                         " exact 124 ms/step, clustered 138, xla 200 — the"
+                         " Morton prep only pays above ~15k points")
     ap.add_argument("--policies", default=None,
                     help="comma list to restrict which policies run")
     args = ap.parse_args()

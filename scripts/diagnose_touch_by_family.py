@@ -27,14 +27,23 @@ os.environ.setdefault(
 )
 
 
-def family_of(seed: int) -> str:
-    """Replays random_object's branch draws (primitives.py) without meshing."""
+def family_of(seed: int, version: int = 3) -> str:
+    """Replays random_object's branch draws (primitives.py) without meshing.
+    version=2 is the round-2 mixture (data_campaign); version=3 is current."""
     rng = np.random.default_rng(seed)
     u = rng.uniform()
-    if u < 0.45:
-        return "eccentric_single"
+    if version == 2:
+        if u < 0.45:
+            return "eccentric_single"
+        if u < 0.80:
+            return "composed"
+        return "legacy_mix"
+    if u < 0.55:
+        return "lobed_blob"
     if u < 0.80:
-        return "composed"
+        return "multi_blob"
+    if u < 0.90:
+        return "eccentric_single"
     return "legacy_mix"
 
 
@@ -44,6 +53,7 @@ def main():
     ap.add_argument("--out", default="results_campaign")
     ap.add_argument("--exp-id", default="campaign_t_g")
     ap.add_argument("--gen-seed", type=int, default=7)
+    ap.add_argument("--dist-version", type=int, default=3)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--number-points", type=int, default=10000)
     ap.add_argument("--split", default="valid")
@@ -83,7 +93,7 @@ def main():
     fam_cds = defaultdict(lambda: defaultdict(list))
     for name, cd0 in per_grasps[0].items():
         obj_id = int(name.split("/")[-1]) if "/" in name else int(name)
-        fam = family_of(args.gen_seed * 1_000_003 + obj_id)
+        fam = family_of(args.gen_seed * 1_000_003 + obj_id, args.dist_version)
         for g, table in per_grasps.items():
             fam_cds[fam][g].append(table[name])
 

@@ -2,8 +2,8 @@
 
 Reference table (README.md:176-181 / images/Results.png): % of initial
 Chamfer distance remaining after 5 touches, one row per setting, one
-column per policy (BASELINE.md reproduces the numbers).  Writes
-<out>/TABLE.md and prints it.
+column per policy, mean ± std over trained-model seeds (BASELINE.md
+reproduces the numbers).  Writes <out>/TABLE.md and prints it.
 """
 
 import argparse
@@ -17,20 +17,38 @@ COLUMNS = [
     ("mfba", "MFBA"),
     ("leba", "LEBA"),
     ("nearest_neighbor", "NN"),
-    ("ddqn", "DDQN"),
+    ("ddqn_m", "DDQN_m"),
+    ("ddqn", "DDQN_l"),
     ("supervised", "Supervised"),
 ]
 
 REFERENCE = {  # BASELINE.md (reference Results.png), for the side-by-side
     "t_p": {"Oracle": 19.35, "Random": 36.38, "Even": 33.25, "MFBA": 32.40,
-            "LEBA": 29.85, "NN": 33.46, "DDQN": 31.10, "Supervised": 31.21},
+            "LEBA": 29.85, "NN": 33.46, "DDQN_m": 32.41, "DDQN_l": 31.10,
+            "Supervised": 31.21},
     "t_g": {"Oracle": 16.38, "Random": 25.83, "Even": 24.53, "MFBA": 23.46,
-            "LEBA": 23.04, "NN": 24.34, "DDQN": 23.84, "Supervised": 23.70},
+            "LEBA": 23.04, "NN": 24.34, "DDQN_m": 23.92, "DDQN_l": 23.84,
+            "Supervised": 23.70},
     "v_t_p": {"Oracle": 78.95, "Random": 94.56, "Even": 93.95, "MFBA": 93.59,
-              "LEBA": 92.36, "NN": 91.79, "DDQN": 92.62, "Supervised": 93.12},
+              "LEBA": 92.36, "NN": 91.79, "DDQN_m": 93.75, "DDQN_l": 92.62,
+              "Supervised": 93.12},
     "v_t_g": {"Oracle": 77.18, "Random": 90.65, "Even": 90.29, "MFBA": 89.39,
-              "LEBA": 89.31, "NN": 88.53, "DDQN": 89.32, "Supervised": 89.46},
+              "LEBA": 89.31, "NN": 88.53, "DDQN_m": 90.07, "DDQN_l": 89.32,
+              "Supervised": 89.46},
 }
+
+
+def fmt_cell(cell) -> str:
+    if not cell:
+        return "| — "
+    val = cell.get("pct_cd_remaining")
+    if val is None:
+        return "| — "
+    std = cell.get("pct_cd_std")
+    n_seeds = len(cell.get("seeds", {}))
+    if std is not None and n_seeds > 1:
+        return f"| {val:.1f}±{std:.1f} "
+    return f"| {val:.1f} "
 
 
 def main():
@@ -43,10 +61,11 @@ def main():
         "# Campaign results — % of initial CD remaining after 5 touches",
         "",
         "Lower is better.  `ours` = this framework on its procedural ABC"
-        " stand-in (zero-egress environment; one trained model, not the"
-        " reference's 5-model mean).  `ref` = the reference's published"
-        " numbers on ABC (BASELINE.md) — distribution differs, so compare"
-        " the *ordering and separation*, not absolute cells.",
+        " stand-in (zero-egress environment); ± is std over policy seeds"
+        " where more than one was trained (reference: over 5 trained"
+        " models).  `ref` = the reference's published numbers on ABC"
+        " (BASELINE.md) — distribution differs, so compare the *ordering"
+        " and separation*, not absolute cells.",
         "",
         "| Setting | Src | " + " | ".join(label for _, label in COLUMNS) + " |",
         "|---|---|" + "---|" * len(COLUMNS),
@@ -57,9 +76,7 @@ def main():
         setting = key[len("policies_"):]
         row = [f"| {setting} | ours "]
         for pol, _ in COLUMNS:
-            cell = block.get(pol)
-            val = cell.get("pct_cd_remaining") if cell else None
-            row.append(f"| {val:.1f} " if val is not None else "| — ")
+            row.append(fmt_cell(block.get(pol)))
         lines.append("".join(row) + "|")
         ref = REFERENCE.get(setting)
         if ref:

@@ -72,3 +72,48 @@ def test_clustered_chamfer_value_and_grad():
     np.testing.assert_allclose(
         np.asarray(gy_cl), np.asarray(gy_ref), rtol=1e-4, atol=1e-7
     )
+
+
+def test_sharded_clustered_runs_under_mesh():
+    """The clustered NN inside shard_map on the CPU test mesh: each device
+    prunes within its own y-shard; pct of exact-NN agreement must stay
+    high and the value must upper-bound (never beat) the exact sharded CD."""
+    from active_3d_vision_and_touch_tpu.ops.chamfer import (
+        chamfer_distance,
+        chamfer_distance_sharded,
+    )
+    from active_3d_vision_and_touch_tpu.parallel import data_parallel_mesh
+
+    mesh = data_parallel_mesh(4)
+    x, y = _surface_clouds(n=512, m=1024)  # 256-point shards over 4 devices
+    cd_ref = np.asarray(chamfer_distance(x, y))
+    cd_sh = np.asarray(
+        chamfer_distance_sharded(x, y, mesh, nn="clustered")
+    )
+    assert np.isfinite(cd_sh).all()
+    # pruned-per-shard NN can only overestimate the min distance
+    assert (cd_sh >= cd_ref - 1e-6).all()
+    assert np.allclose(cd_sh, cd_ref, rtol=5e-2)
+
+
+def test_tiled_gt_matches_tiled_call():
+    """chamfer_clustered_tiled_gt(x, y, R) == clustered CD against
+    jnp.tile(y, R) in value, and its x-gradient matches."""
+    from active_3d_vision_and_touch_tpu.ops.chamfer_cluster import (
+        chamfer_clustered_tiled_gt,
+    )
+
+    x, y = _surface_clouds(n=512, m=512)
+    r = 3
+    xr = jnp.tile(x, (r, 1, 1)) * (1.0 + 0.01 * jnp.arange(r * 2)[:, None, None])
+    yt = jnp.tile(y, (r, 1, 1))
+    cd_tiled = chamfer_clustered_tiled_gt(xr, y, r, 64, 12)
+    cd_ref = chamfer_distance_clustered(xr, yt, 64, 12)
+    np.testing.assert_allclose(
+        np.asarray(cd_tiled), np.asarray(cd_ref), rtol=1e-5
+    )
+    g_tiled = jax.grad(lambda a: chamfer_clustered_tiled_gt(a, y, r, 64, 12).sum())(xr)
+    g_ref = jax.grad(lambda a: chamfer_distance_clustered(a, yt, 64, 12).sum())(xr)
+    np.testing.assert_allclose(
+        np.asarray(g_tiled), np.asarray(g_ref), rtol=1e-4, atol=1e-7
+    )
