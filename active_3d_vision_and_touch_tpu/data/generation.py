@@ -20,7 +20,6 @@ collection through the same preprocessing.
 from __future__ import annotations
 
 import os
-import random
 import zlib
 from pathlib import Path
 
@@ -222,7 +221,12 @@ def make_data_split(
     test: int | None = None,
 ) -> dict:
     """Named splits over the generated objects (reference sizes 7700x3 /
-    2000 / 1000 scale down proportionally for small runs)."""
+    2000 / 1000 scale down proportionally for small runs).
+
+    Assignment is a STABLE per-name hash bucket (not a shuffle of the name
+    list): an object keeps its split as the dataset grows, so a pilot run
+    on a prefix can never leak later test objects into training.  Explicit
+    ``train``/``valid``/``test`` counts subsample the buckets."""
     from glob import glob
 
     dirs = object_dirs(root)
@@ -230,21 +234,51 @@ def make_data_split(
         os.path.basename(f)[: -len("_verts.npy")]
         for f in glob(os.path.join(dirs["object_info"], "*_verts.npy"))
     )
-    random.Random(0).shuffle(names)
-    n = len(names)
-    if train is None:
-        train = max(1, int(n * 0.28))
-    if valid is None:
-        valid = max(1, int(n * 0.08))
-    if test is None:
-        test = max(1, n - 3 * train - valid)
-    splits = {
-        "recon_train": names[:train],
-        "auto_train": names[train : 2 * train],
-        "RL_train": names[2 * train : 3 * train],
-        "valid": names[3 * train : 3 * train + valid],
-        "test": names[3 * train + valid : 3 * train + valid + test],
-    }
+    if train is not None and valid is not None and test is not None:
+        # explicit counts (tiny fixtures): slice the hash-ordered list so
+        # every split is guaranteed its requested size
+        names = sorted(names, key=lambda n: zlib.crc32(f"split:{n}".encode()))
+        splits = {
+            "recon_train": names[:train],
+            "auto_train": names[train : 2 * train],
+            "RL_train": names[2 * train : 3 * train],
+            "valid": names[3 * train : 3 * train + valid],
+            "test": names[3 * train + valid : 3 * train + valid + test],
+        }
+        np.save(os.path.join(root, "data_split.npy"), splits)
+        return splits
+
+    # proportions mirror the reference: 3 x 28% train pools, 8% valid,
+    # remainder test
+    edges = {"recon_train": 28, "auto_train": 56, "RL_train": 84,
+             "valid": 92, "test": 100}
+    splits = {k: [] for k in edges}
+    for n in names:
+        bucket = zlib.crc32(f"split:{n}".encode()) % 100
+        for k, hi in edges.items():
+            if bucket < hi:
+                splits[k].append(n)
+                break
+    caps = {"recon_train": train, "auto_train": train, "RL_train": train,
+            "valid": valid, "test": test}
+    for k, cap in caps.items():
+        if cap is not None:
+            splits[k] = splits[k][: max(cap, 1)]
+    # tiny datasets can leave buckets empty — rebalance so the splits fill
+    # in priority order (train pools before eval pools, matching the old
+    # count-based behavior).  Real datasets never hit this: no bucket runs
+    # empty, so their assignment stays purely hash-stable.
+    priority = list(edges)
+    for k in priority:
+        if splits[k]:
+            continue
+        for donor in reversed(priority):
+            spare = len(splits[donor]) > 1 or (
+                splits[donor] and priority.index(donor) > priority.index(k)
+            )
+            if donor != k and spare:
+                splits[k].append(splits[donor].pop())
+                break
     np.save(os.path.join(root, "data_split.npy"), splits)
     return splits
 

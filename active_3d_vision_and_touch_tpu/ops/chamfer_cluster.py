@@ -95,7 +95,10 @@ def _edge_pad_points(x, mult):
     )
 
 
-def _nn_kernel(chunk_ids_ref, x_ref, y_hbm, d_ref, i_ref, scratch, sems, *, n_chunks):
+def _nn_kernel(
+    chunk_ids_ref, x_ref, y_hbm, d_ref, i_ref, scratch, sems, *, n_chunks,
+    y_distinct=None,
+):
     """One query tile: scan its T prefetched reference chunks.
 
     chunk_ids_ref: (B*n_tiles*T,) int32 scalar-prefetch, FLAT — SMEM
@@ -117,11 +120,14 @@ def _nn_kernel(chunk_ids_ref, x_ref, y_hbm, d_ref, i_ref, scratch, sems, *, n_ch
     x = x_ref[0]  # (TN, 3)
     tn = x.shape[0]
     base_flat = (b * n_tiles + t) * n_chunks
+    # y_distinct: the reference pack holds only the distinct clouds (the
+    # 3-repeat loss tiles the same gt); fold the batch index back onto it
+    y_row = b if y_distinct is None else jax.lax.rem(b, y_distinct)
 
     def chunk_dma(slot, j):
         cid = chunk_ids_ref[base_flat + j]
         return pltpu.make_async_copy(
-            y_hbm.at[b, pl.ds(cid * 8, 8), :],
+            y_hbm.at[y_row, pl.ds(cid * 8, 8), :],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -166,12 +172,19 @@ def _nn_clustered_sorted(
     chunk_size: int,
     chunks_per_tile: int,
     interpret: bool = False,
+    y_distinct: int | None = None,
 ):
-    """Min (distance approx, argmin-into-sorted-y) for sorted inputs."""
+    """Min (distance approx, argmin-into-sorted-y) for sorted inputs.
+
+    ``y_distinct=k`` declares that ys is a tiling of its first k rows
+    (ys[i] == ys[i % k]): the chunk packing + chunk stats — per-direction
+    prep costs second only to the Morton sort — are computed once for the
+    k distinct clouds; the kernel folds the batch index with a modulo."""
     b, np_, _ = xs.shape
     c = ys.shape[1] // chunk_size
     n_tiles = np_ // _TN
     t_sel = min(chunks_per_tile, c)
+    yd = y_distinct if y_distinct is not None else b
 
     # Per-tile chunk selection by per-query vote.  A tile of Morton-sorted
     # queries can straddle a Z-curve discontinuity, so a tile-centroid
@@ -187,11 +200,14 @@ def _nn_clustered_sorted(
     # compare-sums instead of a per-query top_k + scatter-add (top_k over
     # the chunk axis lowers to a sort, and the scatter serializes; argmin
     # and broadcast-compare are plain VPU reductions).
-    y_chunks = ys.reshape(b, c, chunk_size, 3)
-    chunk_c = jnp.mean(y_chunks, axis=2)  # (B, C, 3)
-    chunk_r = jnp.sqrt(
-        jnp.max(jnp.sum((y_chunks - chunk_c[:, :, None, :]) ** 2, axis=-1), axis=2)
-    )  # (B, C)
+    y_chunks = ys[:yd].reshape(yd, c, chunk_size, 3)
+    chunk_c1 = jnp.mean(y_chunks, axis=2)  # (yd, C, 3)
+    chunk_r1 = jnp.sqrt(
+        jnp.max(jnp.sum((y_chunks - chunk_c1[:, :, None, :]) ** 2, axis=-1), axis=2)
+    )  # (yd, C)
+    reps = b // yd
+    chunk_c = jnp.tile(chunk_c1, (reps, 1, 1)) if reps > 1 else chunk_c1
+    chunk_r = jnp.tile(chunk_r1, (reps, 1)) if reps > 1 else chunk_r1
 
     x_tiles = jnp.moveaxis(xs.reshape(b, n_tiles, _TN, 3), 1, 0)  # (nt, B, TN, 3)
     k_vote = min(3, c)
@@ -223,10 +239,11 @@ def _nn_clustered_sorted(
 
     chunk_ids = jnp.moveaxis(jax.lax.map(tile_select, x_tiles), 0, 1)  # (B, nt, T)
 
-    # pack chunks transposed: (B, C, S, 3) → (B, C, 8, S) → (B, C*8, S)
-    y_packed = jnp.transpose(y_chunks, (0, 1, 3, 2))  # (B, C, 3, S)
+    # pack chunks transposed: (yd, C, S, 3) → (yd, C, 8, S) → (yd, C*8, S)
+    # — only the distinct clouds; the kernel DMAs row b % yd
+    y_packed = jnp.transpose(y_chunks, (0, 1, 3, 2))  # (yd, C, 3, S)
     y_packed = jnp.pad(y_packed, ((0, 0), (0, 0), (0, 5), (0, 0)))
-    y_packed = y_packed.reshape(b, c * 8, chunk_size)
+    y_packed = y_packed.reshape(yd, c * 8, chunk_size)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -251,7 +268,11 @@ def _nn_clustered_sorted(
         ],
     )
     d, i = pl.pallas_call(
-        functools.partial(_nn_kernel, n_chunks=t_sel),
+        functools.partial(
+            _nn_kernel,
+            n_chunks=t_sel,
+            y_distinct=None if yd == b else yd,
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, np_, 1), jnp.float32),
@@ -303,7 +324,8 @@ def min_dists_clustered(
 
 
 def _pair_min_dists_sorted(
-    x, y, chunk_size, chunks_per_tile, interpret=None, y_sorted=None
+    x, y, chunk_size, chunks_per_tile, interpret=None, y_sorted=None,
+    y_distinct=None, sort_x=True,
 ):
     """Both sweep directions off ONE Morton sort per cloud, everything in
     the SORTED frame: the CD value is a mean over queries, so it never
@@ -323,12 +345,25 @@ def _pair_min_dists_sorted(
         "padding serves both roles"
     )
     n, m = x.shape[1], y.shape[1]
-    xs, xperm = _sort_by_morton(x)
+    if sort_x:
+        xs, xperm = _sort_by_morton(x)
+    else:
+        # mesh-sampled queries arrive in face order — chart-local and
+        # spatially coherent per query tile already; the per-query chunk
+        # vote absorbs the residual disorder (agreement measured in
+        # tests/test_chamfer_cluster.py::test_face_order_queries)
+        xs = x
+        xperm = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None], (x.shape[0], n)
+        )
     ys, yperm = y_sorted if y_sorted is not None else _sort_by_morton(y)
     xs_p = _edge_pad_points(xs, _TN)
     ys_p = _edge_pad_points(ys, _TN)
 
-    _, ix_s = _nn_clustered_sorted(xs_p, ys_p, chunk_size, chunks_per_tile, interpret)
+    _, ix_s = _nn_clustered_sorted(
+        xs_p, ys_p, chunk_size, chunks_per_tile, interpret,
+        y_distinct=y_distinct,
+    )
     _, iy_s = _nn_clustered_sorted(ys_p, xs_p, chunk_size, chunks_per_tile, interpret)
     ix_s = jnp.clip(ix_s[:, :n], 0, m - 1)
     iy_s = jnp.clip(iy_s[:, :m], 0, n - 1)
@@ -421,7 +456,8 @@ def _tiled_fwd(x, y, repeat, chunk_size, chunks_per_tile):
     ys = jnp.tile(ys1, (repeat, 1, 1))
     yperm = jnp.tile(yperm1, (repeat, 1))
     res, dx_s, dy_s = _pair_min_dists_sorted(
-        x, ys, chunk_size, chunks_per_tile, y_sorted=(ys, yperm)
+        x, ys, chunk_size, chunks_per_tile, y_sorted=(ys, yperm),
+        y_distinct=y.shape[0],
     )
     return jnp.mean(dx_s, axis=1) + jnp.mean(dy_s, axis=1), (res, y.shape)
 
