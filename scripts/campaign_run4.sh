@@ -13,10 +13,13 @@ ROOT=${ROOT:-data_r3}
 OUT=${OUT:-results_r3}
 SETTINGS=${SETTINGS:-"t_g t_p v_t_g v_t_p"}
 SEEDS=${SEEDS:-"0,1"}
-VISION_EPOCHS=${VISION_EPOCHS:-80}
-VISION_EPOCHS_AUX=${VISION_EPOCHS_AUX:-60}   # non-t_g settings
-DDQN_EPOCHS=${DDQN_EPOCHS:-4}
-TRAIN_BATCHES=${TRAIN_BATCHES:-50}
+BASELINE_SEEDS=${BASELINE_SEEDS:-"0,1"}
+VISION_EPOCHS=${VISION_EPOCHS:-45}
+VISION_EPOCHS_AUX=${VISION_EPOCHS_AUX:-35}   # non-t_g settings
+AUTO_EPOCHS=${AUTO_EPOCHS:-16}
+DDQN_EPOCHS=${DDQN_EPOCHS:-3}
+TRAIN_BATCHES=${TRAIN_BATCHES:-40}
+EVAL_BATCHES=${EVAL_BATCHES:-25}   # x env_batch_size 8 = 200 episodes
 LOGS="$OUT/logs"
 mkdir -p "$LOGS"
 
@@ -25,6 +28,13 @@ if [ -f /tmp/r3_gen.pid ] && kill -0 "$(cat /tmp/r3_gen.pid)" 2>/dev/null; then
   while kill -0 "$(cat /tmp/r3_gen.pid)" 2>/dev/null; do sleep 60; done
 fi
 echo "generation done: $(ls "$ROOT"/point_cloud_info 2>/dev/null | wc -l) clouds"
+
+# VERDICT r2 #10: re-measure clustered-NN agreement on this dataset before
+# trusting it as the training loss (logged metric; aborts campaign if <0.95)
+if [ ! -f "$OUT/cluster_agreement.json" ]; then
+  python scripts/check_cluster_agreement.py --root "$ROOT" --out "$OUT" \
+    > "$LOGS/cluster_agreement.log" 2>&1 || exit 1
+fi
 
 stage() {
   local name=$1; shift
@@ -55,11 +65,12 @@ for S in $SETTINGS; do
       --exp-id campaign_t_g --gen-seed 11 --dist-version 3 \
       >> "$LOGS/diagnose.log" 2>&1 || true
   fi
-  stage "auto_$S" --stage auto --setting "$S" --auto-epochs 25 || exit 1
+  stage "auto_$S" --stage auto --setting "$S" --auto-epochs "$AUTO_EPOCHS" || exit 1
   stage "policies_$S" --stage policies --setting "$S" --greedy-checks 50 \
-    --seeds "$SEEDS" --ddqn-epochs "$DDQN_EPOCHS" \
+    --seeds "$SEEDS" --baseline-seeds "$BASELINE_SEEDS" \
+    --eval-batches "$EVAL_BATCHES" --ddqn-epochs "$DDQN_EPOCHS" \
     --policy-train-batches "$TRAIN_BATCHES" --seq-train-fraction 0.4 \
-    --epsilon-decay 0.996 || exit 1
+    --epsilon-decay 0.994 || exit 1
   python scripts/make_results_table.py --out "$OUT" >> "$LOGS/driver.log" 2>&1 || true
   echo "campaign ($S) complete" | tee -a "$LOGS/driver.log"
 done

@@ -74,6 +74,30 @@ def test_clustered_chamfer_value_and_grad():
     )
 
 
+def test_clustered_agreement_on_v3_distribution():
+    """Neighbor agreement of the pruned search on the round-3 (v3: lobed /
+    multi-blob / prior-family) object distribution at the PRODUCTION kernel
+    parameters (chunk 128, T=24; genuinely pruned: 24 of 64 chunks here).
+    Measured CPU-interpret: 99.6-99.8% agreement, CD rel err 0.4-1.1%.
+    Full-scale (30k) agreement on the real dataset is measured at campaign
+    start by scripts/check_cluster_agreement.py (VERDICT r2 #10)."""
+    fracs, errs = [], []
+    for seed in (3, 11, 17):  # spans the v3 family mixture
+        obj = random_object(seed)
+        verts = jnp.asarray(obj.verts)[None]
+        faces = jnp.asarray(obj.faces)
+        x = batch_sample(verts, faces, jax.random.PRNGKey(seed), num=8192)
+        y = batch_sample(verts, faces, jax.random.PRNGKey(seed + 100), num=8192)
+        d_ref, _ = _min_dists_xla(x, y)
+        d_cl, _ = min_dists_clustered(x, y, chunk_size=128, chunks_per_tile=24)
+        d_ref, d_cl = np.asarray(d_ref), np.asarray(d_cl)
+        assert (d_cl >= d_ref - 1e-9).all()
+        fracs.append(np.isclose(d_cl, d_ref, rtol=1e-5, atol=1e-10).mean())
+        errs.append(abs(d_cl.mean() - d_ref.mean()) / d_ref.mean())
+    assert min(fracs) > 0.99, fracs
+    assert max(errs) < 0.02, errs
+
+
 def test_sharded_clustered_runs_under_mesh():
     """The clustered NN inside shard_map on the CPU test mesh: each device
     prunes within its own y-shard; pct of exact-NN agreement must stay
