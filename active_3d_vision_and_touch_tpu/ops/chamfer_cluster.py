@@ -210,32 +210,60 @@ def _nn_clustered_sorted(
     chunk_r = jnp.tile(chunk_r1, (reps, 1)) if reps > 1 else chunk_r1
 
     x_tiles = jnp.moveaxis(xs.reshape(b, n_tiles, _TN, 3), 1, 0)  # (nt, B, TN, 3)
-    k_vote = min(3, c)
-    chunk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
+    # Candidate pre-filter: the per-query vote is the dominant selection
+    # cost (a (B, TN, C) bound tensor per tile).  8 anchor queries spread
+    # across the Morton-sorted tile (stride TN/8) rank all C chunks by
+    # min-over-anchors bound, and the vote then runs over only the best
+    # K = 3T candidates — ~C/K (~3x at 30k) less VPU work.  Anchors, not
+    # the tile centroid: a tile straddling a Z-curve discontinuity has
+    # queries in several distant regions, and min-over-anchors keeps every
+    # region's nearby chunks in the candidate set (the centroid bound
+    # alone misses the minority side — the original design note).
+    k_cand = min(3 * t_sel, c)
+    k_vote = min(3, k_cand)
+    cand_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k_cand), 2)
 
     def tile_select(x_tile):  # (B, TN, 3)
+        if k_cand < c:
+            anchors = x_tile[:, :: _TN // 8, :]  # (B, 8, 3)
+            a_bound = (
+                jnp.sqrt(
+                    jnp.sum(
+                        (anchors[:, :, None, :] - chunk_c[:, None, :, :]) ** 2,
+                        axis=-1,
+                    )
+                )
+                - chunk_r[:, None, :]
+            ).min(axis=1)  # (B, C)
+            _, cand = jax.lax.top_k(-a_bound, k_cand)  # (B, K)
+            cand = cand.astype(jnp.int32)
+            cc = jnp.take_along_axis(chunk_c, cand[..., None], axis=1)  # (B, K, 3)
+            cr = jnp.take_along_axis(chunk_r, cand, axis=1)  # (B, K)
+        else:
+            cand, cc, cr = None, chunk_c, chunk_r
         q_bound = (
             jnp.sqrt(
-                jnp.sum(
-                    (x_tile[:, :, None, :] - chunk_c[:, None, :, :]) ** 2, axis=-1
-                )
+                jnp.sum((x_tile[:, :, None, :] - cc[:, None, :, :]) ** 2, axis=-1)
             )
-            - chunk_r[:, None, :]
-        )  # (B, TN, C)
-        votes = jnp.zeros((b, c), jnp.float32)
+            - cr[:, None, :]
+        )  # (B, TN, K)
+        votes = jnp.zeros((b, k_cand), jnp.float32)
         for _ in range(k_vote):
             onehot = (
-                jnp.argmin(q_bound, axis=-1)[:, :, None] == chunk_iota
-            )  # (B, TN, C)
+                jnp.argmin(q_bound, axis=-1)[:, :, None] == cand_iota
+            )  # (B, TN, K)
             votes = votes + jnp.sum(onehot, axis=1, dtype=jnp.float32)
             q_bound = jnp.where(onehot, jnp.inf, q_bound)
         tile_c = jnp.mean(x_tile, axis=1)  # (B, 3)
         tile_bound = (
-            jnp.sqrt(jnp.sum((tile_c[:, None, :] - chunk_c) ** 2, axis=-1)) - chunk_r
+            jnp.sqrt(jnp.sum((tile_c[:, None, :] - cc) ** 2, axis=-1)) - cr
         )
         score = votes + 1.0 / (1.0 + jnp.maximum(tile_bound, 0.0))
-        _, ids = jax.lax.top_k(score, t_sel)  # (B, T) — small, C-wide only
-        return ids.astype(jnp.int32)
+        _, ids = jax.lax.top_k(score, t_sel)  # (B, T) — small, K-wide only
+        ids = ids.astype(jnp.int32)
+        if cand is not None:
+            ids = jnp.take_along_axis(cand, ids, axis=1)
+        return ids
 
     chunk_ids = jnp.moveaxis(jax.lax.map(tile_select, x_tiles), 0, 1)  # (B, nt, T)
 
