@@ -138,6 +138,11 @@ def batch_sample(
 
     verts: (B, V, 3) float, faces: (F, 3) int (shared across the batch),
     returns (B, num, 3).
+
+    The gather/scatter structure here was measured CHEAPER than an MXU
+    one-hot-matmul Pallas formulation (r3: 44 vs 226 ms fwd+bwd at 16x90k
+    draws over 2.6k faces — tiny-M matmuls + per-tile one-hot construction
+    lose to XLA's gather + the sorted-prefix backward).  See ROADMAP.
     """
     b = verts.shape[0]
     k_face, k_u, k_v = jax.random.split(key, 3)
