@@ -162,6 +162,26 @@ def test_score_candidates_matches_committed_step(world):
     assert (rel < 0.35).all(), (scores[:, 0], obs2["score"])
 
 
+def test_env_single_finger_setting(world):
+    """The t_p/v_t_p settings run the env with finger=True (only the
+    pointer finger's chart per grasp — reference environment.py:62-104);
+    reset/step/score_candidates must work with the 1-finger atlas."""
+    tmp, _, _, batch = world
+    config = small_policy_config(tmp, use_latent=False, finger=True)
+    touch_cfg = TouchConfig(experiments_root=os.path.join(tmp, "exp"), eval=True)
+    touch_state = TouchEngine(touch_cfg, log=False).init_state(jax.random.PRNGKey(0))
+    vision = VisionEngine(config, log=False)
+    vision_state = vision.init_state(jax.random.PRNGKey(1))
+    env = ActiveTouchEnv(config, touch_state, vision_state, None, None)
+
+    obs = env.reset(batch)
+    assert np.isfinite(obs["score"]).all()
+    obs2, reward, done = env.step(np.array([1, 2]))
+    assert np.isfinite(reward).all()
+    scores = env.score_candidates(np.array([[0, 3], [0, 3]]), chunk=2)
+    assert scores.shape == (B, 2) and np.isfinite(scores).all()
+
+
 def test_samplers_never_repeat():
     mask = np.zeros((3, 50))
     rs = RandomSampler(50, seed=0)
