@@ -118,14 +118,16 @@ def object_dirs(root: str) -> dict:
     }
 
 
-def save_object_info(root: str, num_objects: int, seed: int = 0) -> list[str]:
+def save_object_info(
+    root: str, num_objects: int, seed: int = 0, version: int = 3
+) -> list[str]:
     """Generate procedural objects and store verts/faces/obj per object."""
     dirs = object_dirs(root)
     os.makedirs(dirs["object_info"], exist_ok=True)
     names = []
     for i in range(num_objects):
         name = f"{i:06d}"
-        mesh = random_object(seed * 1_000_003 + i)
+        mesh = random_object(seed * 1_000_003 + i, version=version)
         base = os.path.join(dirs["object_info"], name)
         np.save(base + "_verts.npy", mesh.verts)
         np.save(base + "_faces.npy", mesh.faces)
@@ -375,9 +377,10 @@ def generate_dataset(
     num_actions: int = 50,
     point_dim: int = 128,
     num_points: int = 30000,
+    version: int = 3,
 ) -> dict:
     """One-call pipeline: objects → point clouds → simulation → split."""
-    names = save_object_info(root, num_objects, seed)
+    names = save_object_info(root, num_objects, seed, version=version)
     save_point_info(root, dim=point_dim, num_points=num_points)
     save_simulation(root, num_actions=num_actions, names=names)
     return make_data_split(root)

@@ -238,21 +238,32 @@ def _warp(verts: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     return (v @ frame).astype(np.float32)
 
 
-def lobed_blob(rng: np.random.Generator, subdivisions: int = 3) -> Mesh:
+def lobed_blob(
+    rng: np.random.Generator,
+    subdivisions: int = 3,
+    amp_gain: float = 1.0,
+    width_gain: float = 1.0,
+) -> Mesh:
     """Sphere with few LARGE-amplitude, broad radial lobes, anisotropically
     squashed and moderately stretched.  The round-3 touch-dominance family:
     the per-family diagnostic on the round-2 model
     (results_campaign/touch_value_by_family.json) showed big-lobe shapes
     carry ~4x the touch signal of stretched smooth primitives (63% vs 90%
     CD remaining after 5 grasps) — lobes are both unhedgeable by a mean
-    -shape prior AND locally revealed by a single grasp."""
+    -shape prior AND locally revealed by a single grasp.
+
+    ``amp_gain``/``width_gain`` (v4) scale the lobe amplitude/angular
+    frequency so the caller can draw *per-object* surface statistics: a
+    mean-shape prior must hedge across objects that range from near-spheres
+    to deeply lobed, while one grasp reveals the object's own amplitude
+    band."""
     base = icosphere(subdivisions)
     d = base.verts / np.linalg.norm(base.verts, axis=1, keepdims=True)
     k = int(rng.integers(2, 11))
     centers = rng.normal(size=(k, 3))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    amps = rng.uniform(-0.5, 1.5, size=k)
-    widths = rng.uniform(1.2, 5.0, size=k)
+    amps = rng.uniform(-0.5, 1.5, size=k) * amp_gain
+    widths = rng.uniform(1.2, 5.0, size=k) * width_gain
     cos = d @ centers.T
     r = np.maximum(1.0 + (amps * np.exp(widths * (cos - 1.0))).sum(axis=1), 0.25)
     verts = d * r[:, None]
@@ -262,7 +273,9 @@ def lobed_blob(rng: np.random.Generator, subdivisions: int = 3) -> Mesh:
     return Mesh((verts * stretch).astype(np.float32), base.faces)
 
 
-def multi_blob(rng: np.random.Generator) -> Mesh:
+def multi_blob(
+    rng: np.random.Generator, amp_gain: float = 1.0, width_gain: float = 1.0
+) -> Mesh:
     """Union of 2-4 overlapping lobed blobs — one connected lumpy mass
     (blob_union generalized; kept overlapping rather than arm-like: the
     protruding-arm compositions measured the WORST touch value)."""
@@ -270,7 +283,7 @@ def multi_blob(rng: np.random.Generator) -> Mesh:
     k = int(rng.integers(2, 5))
     verts, faces = None, None
     for j in range(k):
-        p = lobed_blob(rng, subdivisions=2)
+        p = lobed_blob(rng, subdivisions=2, amp_gain=amp_gain, width_gain=width_gain)
         pv = p.verts * float(rng.uniform(0.45, 1.0 if j else 1.2))
         if verts is None:
             verts, faces = pv, p.faces
@@ -281,7 +294,79 @@ def multi_blob(rng: np.random.Generator) -> Mesh:
     return Mesh(verts.astype(np.float32), faces)
 
 
-def random_object(seed: int, scale: float = 3.1) -> Mesh:
+def box_mesh(half_extents) -> Mesh:
+    """Axis-aligned box (12 triangles, outward winding)."""
+    h = np.asarray(half_extents, np.float32)
+    corners = np.array(
+        [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)],
+        np.float32,
+    )  # index bit order: x*4 + y*2 + z
+    faces = np.array(
+        [
+            [0, 1, 3], [0, 3, 2],  # -x
+            [4, 6, 7], [4, 7, 5],  # +x
+            [0, 4, 5], [0, 5, 1],  # -y
+            [2, 3, 7], [2, 7, 6],  # +y
+            [0, 2, 6], [0, 6, 4],  # -z
+            [1, 5, 7], [1, 7, 3],  # +z
+        ],
+        np.int32,
+    )
+    return Mesh(corners * h, faces)
+
+
+def slab_assembly(rng: np.random.Generator) -> Mesh:
+    """Union of 2-4 thin slabs/beams crossing near the origin — the
+    CAD-bracket entropy class (v4).  Thin surfaces at random orientations
+    are expensive for a hedged mean-shape prior to cover under symmetric
+    Chamfer (mass spent near one slab is wrong for every other object),
+    yet a single contact reveals the local plane exactly — prior-badness
+    that is both large and *touch-recoverable*, and spatially localized so
+    WHICH grasp is taken matters (policy separation)."""
+    k = int(rng.integers(1, 5))
+    verts, faces = None, None
+    for j in range(k):
+        h = rng.uniform(0.3, 1.2, size=3)
+        thin_axes = [int(rng.integers(3))]
+        if rng.uniform() < 0.35:  # beams: thin in two axes
+            thin_axes.append((thin_axes[0] + 1 + int(rng.integers(2))) % 3)
+        for a in thin_axes:
+            h[a] = rng.uniform(0.05, 0.12)
+        part = box_mesh(h)
+        pv = part.verts @ _random_rotation(rng).T.astype(np.float32)
+        if verts is None:
+            verts, faces = pv, part.faces
+        else:
+            offset = rng.uniform(-0.45, 0.45, size=3).astype(np.float32)
+            faces = np.concatenate([faces, part.faces + len(verts)])
+            verts = np.concatenate([verts, pv + offset])
+    return Mesh(verts.astype(np.float32), faces)
+
+
+def shell_bowl(
+    rng: np.random.Generator, amp_gain: float = 1.0, width_gain: float = 1.0
+) -> Mesh:
+    """Open shell: a lobed blob with a planar cap of faces removed (v4).
+    Bowls/shells are a second unhedgeable class — the surviving surface is
+    one-sided and its opening direction is a per-object property, so a
+    hedged prior pays for both the phantom cap and the missing interior
+    mass.  Zero-thickness soup is fine downstream: carving, hull grasping
+    and the z-buffer renderers all accept open meshes."""
+    base = lobed_blob(rng, subdivisions=3, amp_gain=0.6 * amp_gain,
+                      width_gain=width_gain)
+    n = rng.normal(size=3)
+    n /= np.linalg.norm(n)
+    proj = base.verts[base.faces].mean(axis=1) @ n.astype(np.float32)
+    keep_frac = float(rng.uniform(0.5, 0.8))
+    keep = proj <= np.quantile(proj, keep_frac)
+    faces = base.faces[keep]
+    used = np.unique(faces)
+    remap = np.full(base.num_verts, -1, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    return Mesh(base.verts[used], remap[faces])
+
+
+def random_object(seed: int, scale: float = 3.1, version: int = 3) -> Mesh:
     """Deterministic procedural object, preprocessed like dataset objects
     (centered, max extent = 1/scale — reference ``data_making.py:76-95``).
 
@@ -296,10 +381,48 @@ def random_object(seed: int, scale: float = 3.1) -> Mesh:
     comes from broad radial lobes, not eccentricity or part placement.  v3
     therefore mixes 55% lobed blobs, 25% overlapping multi-blob unions, 10%
     stretched smooth singles, 10% round-1 families, through 0-1 nonlinear
-    warps and a random global rotation."""
+    warps and a random global rotation.
+
+    v4 (round-3, ROADMAP round-4 #1) attacks the two reasons v3's trained
+    0-grasp prior stayed good (85% CD remaining vs the reference's 26%):
+
+      * **normalization erased gross scale** — every object spanned the
+        same extent, so a hedged ellipsoid covered the whole distribution.
+        v4 draws a per-object per-axis scale from U(0.4, 1.8) AFTER
+        ``scale_points``: size/aspect is pinned exactly by the first
+        grasp's ground-truth chart anchors but only weakly visible from
+        the fixed monocular camera (and clipped for the largest objects),
+        so it feeds both the T and V&T regimes.
+      * **blob surfaces are hedgeable** — all v3 families keep their
+        surface near an ellipsoid shell, which a mean-shape prior covers
+        cheaply under squared Chamfer.  v4 adds a 20% ``slab_assembly``
+        family (thin crossing plates/beams — the ABC bracket class) whose
+        thin surfaces at random orientations are expensive to hedge and
+        *localized*, so which grasp is chosen matters (policy separation),
+        plus per-object lobe amplitude/frequency gains (amp U(0.25, 1.7),
+        angular width exp(U(ln 0.6, ln 2.2))) making surface statistics an
+        object property one touch reveals.
+
+    Gate before training: scripts/proxy_hedged.py optimizes the best
+    unconditional point cloud (the true 0-grasp floor) and requires a
+    ≥2.5x jump over the v3 calibration value.
+    """
     rng = np.random.default_rng(seed)
     u = rng.uniform()
-    if u < 0.55:
+    if version >= 4:
+        amp_gain = float(rng.uniform(0.25, 1.7))
+        width_gain = float(np.exp(rng.uniform(np.log(0.6), np.log(2.2))))
+        if u < 0.35:
+            mesh = lobed_blob(rng, amp_gain=amp_gain, width_gain=width_gain)
+        elif u < 0.50:
+            mesh = multi_blob(rng, amp_gain=amp_gain, width_gain=width_gain)
+        elif u < 0.80:
+            mesh = slab_assembly(rng)
+        elif u < 0.90:
+            mesh = eccentric_single(rng)
+        else:
+            mesh = GENERATORS[int(rng.integers(len(GENERATORS)))](rng)
+    elif u < 0.55:
         mesh = lobed_blob(rng)
     elif u < 0.80:
         mesh = multi_blob(rng)
@@ -312,4 +435,7 @@ def random_object(seed: int, scale: float = 3.1) -> Mesh:
         verts = _warp(verts, rng)
     verts = verts @ _random_rotation(rng).T.astype(np.float32)
     verts = scale_points(verts, scale=scale)
+    if version >= 4:
+        axis_scale = rng.uniform(0.45, 2.2, size=(1, 3))
+        verts = (verts * axis_scale).astype(np.float32)
     return Mesh(verts, mesh.faces)

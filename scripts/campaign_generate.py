@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--num-actions", type=int, default=50)
     ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--dist-version", type=int, default=3)
     args = ap.parse_args()
 
     from active_3d_vision_and_touch_tpu.data.generation import (
@@ -33,7 +34,9 @@ def main():
 
     dirs = object_dirs(args.root)
     t0 = time.time()
-    names = save_object_info(args.root, args.num_objects, args.seed)
+    names = save_object_info(
+        args.root, args.num_objects, args.seed, version=args.dist_version
+    )
     save_point_info(args.root)
     print(f"objects+clouds ready ({time.time() - t0:.0f}s)", flush=True)
 

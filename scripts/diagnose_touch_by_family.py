@@ -29,7 +29,8 @@ os.environ.setdefault(
 
 def family_of(seed: int, version: int = 3) -> str:
     """Replays random_object's branch draws (primitives.py) without meshing.
-    version=2 is the round-2 mixture (data_campaign); version=3 is current."""
+    version=2 is the round-2 mixture (data_campaign); u is the first draw
+    in every version."""
     rng = np.random.default_rng(seed)
     u = rng.uniform()
     if version == 2:
@@ -37,6 +38,18 @@ def family_of(seed: int, version: int = 3) -> str:
             return "eccentric_single"
         if u < 0.80:
             return "composed"
+        return "legacy_mix"
+    if version >= 4:
+        if u < 0.30:
+            return "lobed_blob"
+        if u < 0.45:
+            return "multi_blob"
+        if u < 0.70:
+            return "slab_assembly"
+        if u < 0.82:
+            return "shell_bowl"
+        if u < 0.91:
+            return "eccentric_single"
         return "legacy_mix"
     if u < 0.55:
         return "lobed_blob"
