@@ -79,10 +79,21 @@ class SupervisedEngine(PolicyEngine):
                 jnp.asarray(obs["first_latent"]),
             )
         )
+        pin = 1e10 if self.config.supervised_select == "argmin" else -1e10
         for acts in prev_actions:
             for e, a in enumerate(acts):
-                v[e, int(a)] = 1e10  # never repeat an action
+                v[e, int(a)] = pin  # never repeat an action
         return v
+
+    def _select(self, step: int, obs, prev_actions: list[np.ndarray]) -> np.ndarray:
+        """Pick one action per env from the step's value model.  Default
+        "argmin" mirrors the reference's selection (supervised/train.py:
+        125,195) even though the regression target is an improvement;
+        "argmax" is the sign-consistent rule (see PolicyConfig)."""
+        v = self._values(step, obs, prev_actions)
+        if self.config.supervised_select == "argmax":
+            return np.argmax(v, axis=1)
+        return np.argmin(v, axis=1)
 
     def _loss(self, params, mask, latent, first_latent, probe_actions, target):
         values = self.model.apply({"params": params}, mask, latent, first_latent)
@@ -109,7 +120,7 @@ class SupervisedEngine(PolicyEngine):
                 continue
             prev_actions: list[np.ndarray] = []
             for i in range(step):
-                acts = np.argmin(self._values(i, obs, prev_actions), axis=1)
+                acts = self._select(i, obs, prev_actions)
                 obs, _, _ = self.env.step(acts)
                 prev_actions.append(acts)
 
@@ -148,7 +159,7 @@ class SupervisedEngine(PolicyEngine):
             prev.clear()
 
         def select(obs, step):
-            acts = np.argmin(self._values(step, obs, prev), axis=1)
+            acts = self._select(step, obs, prev)
             prev.append(acts)
             return acts
 

@@ -159,6 +159,13 @@ class PolicyConfig(VisionConfig):
     normalize: bool = False
     epochs: int = 1000
     training_actions: int = 5  # probe actions per step (supervised policy)
+    # supervised-policy action selection at eval time.  The reference
+    # regresses IMPROVEMENT (first_score - score, higher = better,
+    # supervised/train.py:139-145) yet selects argmin of the predicted
+    # values (train.py:125,195) — an internal sign inconsistency we
+    # reproduce by default for parity; "argmax" selects greedily w.r.t.
+    # the regressed improvement from the same trained models.
+    supervised_select: str = "argmin"
 
 
 @dataclass

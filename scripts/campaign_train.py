@@ -319,11 +319,14 @@ def stage_policies(args, exp):
         summary = json.load(open(path)) if os.path.exists(path) else {}
         return summary.get(f"policies_{args.setting}", {}).get(name)
 
-    def run(name, engine_cls, train_fn=None, seeds=(0,), overrides=None):
+    def run(name, engine_cls, train_fn=None, seeds=(0,), overrides=None,
+            ckpt_name=None):
         """Train+eval one policy per seed; entry = mean ± std over seeds
         (reference protocol: mean/std over 5 trained models,
         README.md:176-181).  Per-seed results accumulate in the entry so
-        an interrupted stage resumes at the missing seed."""
+        an interrupted stage resumes at the missing seed.  ``ckpt_name``
+        points the engine at another policy's checkpoints (eval-only
+        variants, e.g. supervised_max re-scoring supervised's models)."""
         entry = read_entry(name) or {"seeds": {}}
         entry.setdefault("seeds", {})
         for seed in seeds:
@@ -331,7 +334,7 @@ def stage_policies(args, exp):
                 continue
             t1 = time.time()
             cfg_kw = dict(pcfg_base, seed=seed,
-                          exp_id=f"campaign_{args.setting}_{name}_s{seed}")
+                          exp_id=f"campaign_{args.setting}_{ckpt_name or name}_s{seed}")
             cfg_kw.update(overrides or {})
             engine = engine_cls(PolicyConfig(**cfg_kw), data_root=args.root, env=env)
             if train_fn is not None:
@@ -378,6 +381,10 @@ def stage_policies(args, exp):
     if astate is not None and want("supervised"):
         run("supervised", SupervisedEngine,
             lambda e: e.train(max_batches_per_step=tb), seeds=seeds)
+        # same trained value models, sign-consistent selection (see
+        # PolicyConfig.supervised_select) — eval-only, no retraining
+        run("supervised_max", SupervisedEngine, seeds=seeds,
+            overrides={"supervised_select": "argmax"}, ckpt_name="supervised")
     if astate is not None and want("ddqn"):
         run("ddqn", DDQNEngine,
             lambda e: [e.train_epoch(max_batches=tb) for _ in range(de)],

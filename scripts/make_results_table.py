@@ -85,6 +85,22 @@ def main():
                 + "".join(f"| {ref[label]:.1f} " for _, label in COLUMNS)
                 + "|"
             )
+    extras = []
+    for key, block in sorted(summary.items()):
+        if key.startswith("policies_") and block.get("supervised_max"):
+            cell = block["supervised_max"]
+            val = cell.get("pct_cd_remaining")
+            if val is not None:
+                std = cell.get("pct_cd_std") or 0.0
+                extras.append(f"{key[len('policies_'):]} {val:.1f}±{std:.1f}")
+    if extras:
+        lines += [
+            "",
+            "`supervised_max` (sign-consistent argmax selection over the"
+            " same trained value models — the reference selects argmin of a"
+            " regressed improvement, supervised/train.py:125,195): "
+            + ", ".join(extras),
+        ]
     table = "\n".join(lines) + "\n"
     with open(os.path.join(args.out, "TABLE.md"), "w") as f:
         f.write(table)

@@ -1,3 +1,4 @@
+import dataclasses
 import os
 
 import jax
@@ -345,6 +346,21 @@ def test_supervised_and_nearest_and_ddqn(world):
     assert np.isfinite(loss)
     result = sup.evaluate(split="test", max_batches=1)
     assert np.isfinite(result.pct_cd_remaining)
+
+    # selection-rule override: argmax must pin taken actions LOW and pick
+    # the complementary extreme of the same value models
+    obs = {"mask": np.zeros((1, cfg.num_actions), np.float32),
+           "latent": np.zeros((1, sup.model.latent_size), np.float32),
+           "first_latent": np.zeros((1, sup.model.latent_size), np.float32)}
+    lo = sup._select(0, obs, [])
+    sup.config = dataclasses.replace(cfg, supervised_select="argmax")
+    hi = sup._select(0, obs, [np.asarray(lo)])
+    v = np.array(sup._apply(sup.params[0], obs["mask"], obs["latent"],
+                            obs["first_latent"]))
+    assert int(hi[0]) != int(lo[0])
+    masked = v.copy()
+    masked[0, int(lo[0])] = -1e10
+    assert int(hi[0]) == int(np.argmax(masked[0]))
 
     cfg = small_policy_config(
         tmp, use_latent=True, exp_id="ddqn", budget=2, hidden_dim=16, layers=2,
