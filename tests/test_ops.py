@@ -102,6 +102,38 @@ def test_batch_sample_area_weighting():
     assert frac_big > 0.95
 
 
+def test_interpolate_matches_naive_gather(rng):
+    """The packed corner-table row gather and the sorted-query inverse CDF
+    must be index- and value-identical to the naive formulations."""
+    from active_3d_vision_and_touch_tpu.ops.sample import (
+        _gather_corners,
+        _interpolate,
+        _inverse_cdf,
+        _inverse_cdf_sorted,
+    )
+
+    b, v, f, n = 3, 40, 60, 500
+    verts = jnp.asarray(rng.normal(size=(b, v, 3)).astype(np.float32))
+    faces = jnp.asarray(rng.integers(0, v, size=(f, 3)).astype(np.int32))
+    idx = jnp.asarray(np.sort(rng.integers(0, f, size=(b, n)), axis=1).astype(np.int32))
+    w = jnp.asarray(rng.uniform(size=(b, n, 3)).astype(np.float32))
+
+    tri = jnp.take(faces, idx, axis=0)
+    naive_pts = jax.vmap(lambda vv, t: vv[t])(verts, tri)
+    assert np.allclose(np.asarray(_gather_corners(verts, idx, faces)),
+                       np.asarray(naive_pts))
+    naive = jnp.sum(w[..., None] * naive_pts, axis=2)
+    assert np.allclose(np.asarray(_interpolate(verts, idx, w, faces)),
+                       np.asarray(naive), atol=1e-6)
+
+    probs = rng.uniform(0.1, 1.0, size=(b, f)).astype(np.float32)
+    cdf = jnp.asarray(np.cumsum(probs / probs.sum(1, keepdims=True), axis=1))
+    u = jnp.asarray(np.sort(rng.uniform(size=(b, n)), axis=1).astype(np.float32))
+    a = np.asarray(_inverse_cdf(cdf, u))
+    bb = np.asarray(_inverse_cdf_sorted(cdf, u))
+    assert (a == bb).all()
+
+
 def test_mesh_chamfer_distance_runs(rng):
     chart = touch_chart()
     verts = jnp.asarray(chart.verts)[None]
