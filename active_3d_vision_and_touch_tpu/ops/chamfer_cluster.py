@@ -51,6 +51,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TN = 256  # queries per tile
 
+# Tile-selection cost knobs (A/B'd on-chip; see ROADMAP).  The per-query
+# vote over the candidate pool is the dominant VPU cost of the clustered
+# prep, and Morton-adjacent queries are spatial near-duplicates, so voting
+# with every ``_VOTE_STRIDE``-th query scans the same chunk neighborhoods
+# with 1/stride the bound work.  ``_CAND_FACTOR * T`` is the anchor-ranked
+# candidate pool the vote runs over.
+_VOTE_STRIDE = 1
+_CAND_FACTOR = 3
+
 
 def _part1by2(v: jnp.ndarray) -> jnp.ndarray:
     """Spread 10 bits to every 3rd bit (int32 Morton helper)."""
@@ -219,13 +228,16 @@ def _nn_clustered_sorted(
     # queries in several distant regions, and min-over-anchors keeps every
     # region's nearby chunks in the candidate set (the centroid bound
     # alone misses the minority side — the original design note).
-    k_cand = min(3 * t_sel, c)
+    k_cand = min(_CAND_FACTOR * t_sel, c)
     k_vote = min(3, k_cand)
     cand_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k_cand), 2)
 
-    def tile_select(x_tile):  # (B, TN, 3)
+    def tile_select(x_full):  # (B, TN, 3)
+        # voters: a stride over the Morton-sorted tile (spatial coverage is
+        # preserved; only near-duplicate voters are dropped)
+        x_tile = x_full[:, :: _VOTE_STRIDE, :] if _VOTE_STRIDE > 1 else x_full
         if k_cand < c:
-            anchors = x_tile[:, :: _TN // 8, :]  # (B, 8, 3)
+            anchors = x_full[:, :: _TN // 8, :]  # (B, 8, 3)
             a_bound = (
                 jnp.sqrt(
                     jnp.sum(
@@ -254,7 +266,7 @@ def _nn_clustered_sorted(
             )  # (B, TN, K)
             votes = votes + jnp.sum(onehot, axis=1, dtype=jnp.float32)
             q_bound = jnp.where(onehot, jnp.inf, q_bound)
-        tile_c = jnp.mean(x_tile, axis=1)  # (B, 3)
+        tile_c = jnp.mean(x_full, axis=1)  # (B, 3)
         tile_bound = (
             jnp.sqrt(jnp.sum((tile_c[:, None, :] - cc) ** 2, axis=-1)) - cr
         )
