@@ -388,14 +388,14 @@ def random_object(seed: int, scale: float = 3.1, version: int = 3) -> Mesh:
 
       * **normalization erased gross scale** — every object spanned the
         same extent, so a hedged ellipsoid covered the whole distribution.
-        v4 draws a per-object per-axis scale from U(0.4, 1.8) AFTER
+        v4 draws a per-object per-axis scale from U(0.45, 2.2) AFTER
         ``scale_points``: size/aspect is pinned exactly by the first
         grasp's ground-truth chart anchors but only weakly visible from
         the fixed monocular camera (and clipped for the largest objects),
         so it feeds both the T and V&T regimes.
       * **blob surfaces are hedgeable** — all v3 families keep their
         surface near an ellipsoid shell, which a mean-shape prior covers
-        cheaply under squared Chamfer.  v4 adds a 20% ``slab_assembly``
+        cheaply under squared Chamfer.  v4 adds a 30% ``slab_assembly``
         family (thin crossing plates/beams — the ABC bracket class) whose
         thin surfaces at random orientations are expensive to hedge and
         *localized*, so which grasp is chosen matters (policy separation),
