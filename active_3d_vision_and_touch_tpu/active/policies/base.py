@@ -122,7 +122,9 @@ class PolicyEngine:
             drop_last=True,
         )
 
-    def save_result(self, result, tag: str = "eval") -> None:
+    def save_result(self, result, tag: str = None) -> None:
+        if tag is None:
+            tag = getattr(self.config, "result_tag", "eval")
         path = os.path.join(self.config.results_dir, f"{tag}.json")
         with open(path, "w") as f:
             json.dump(result.summary(), f, indent=2)

@@ -148,9 +148,60 @@ class SupervisedEngine(PolicyEngine):
         self.ckpt.save(self.params, "recent")
         return float(np.mean(losses)) if losses else float("nan")
 
-    def train(self, max_batches_per_step: int | None = None):
+    def _validate_step(self, step: int, max_batches: int = 4) -> float:
+        """Mean %CD remaining after rolling steps 0..step on the valid
+        split — the reference's per-step model-selection metric
+        (``supervised/train.py:216-258``: scores[:, -1] / scores[:, 0],
+        best checkpoint kept, patience on epochs without improvement)."""
+        ratios = []
+        for v, batch in enumerate(self.loader("valid")):
+            if v >= max_batches:
+                break
+            try:
+                obs = self.env.reset(batch)
+            except Exception as e:  # noqa: BLE001 — poison-object guard
+                print(f"skipping valid batch {v}: {e}")
+                continue
+            first = obs["score"].copy()
+            prev: list[np.ndarray] = []
+            for i in range(step + 1):
+                acts = self._select(i, obs, prev)
+                obs, _, _ = self.env.step(acts)
+                prev.append(acts)
+            ratios.append(float(np.mean(obs["score"] / first)))
+        return float(np.mean(ratios)) if ratios else float("inf")
+
+    def train(
+        self,
+        max_batches_per_step: int | None = None,
+        epochs: int | None = None,
+        patience: int = 2,
+    ):
+        """Sequential per-step training with validation-based model
+        selection (reference ``supervised/train.py:63-79``: up to 3000
+        epochs / patience 25 per step; scaled to this budget via
+        ``epochs``).  epochs=1 skips validation (legacy single-sweep)."""
+        epochs = epochs if epochs is not None else self.config.supervised_epochs
         for step in range(self.config.budget):
-            self.train_step_level(step, max_batches=max_batches_per_step)
+            if epochs <= 1:
+                self.train_step_level(step, max_batches=max_batches_per_step)
+                continue
+            best, best_params, since = float("inf"), self.params[step], 0
+            for epoch in range(epochs):
+                loss = self.train_step_level(step, max_batches=max_batches_per_step)
+                score = self._validate_step(step)
+                print(
+                    f"supervised step {step} epoch {epoch}: "
+                    f"loss {loss:.4f} valid %CD {score:.4f}", flush=True,
+                )
+                if score < best:
+                    best, best_params, since = score, self.params[step], 0
+                else:
+                    since += 1
+                    if since >= patience:
+                        break
+            self.params[step] = best_params
+            self.ckpt.save(self.params, "recent")
 
     def evaluate(self, split: str = "test", max_batches=None):
         prev: list[np.ndarray] = []

@@ -68,6 +68,11 @@ def main(argv=None) -> int:
     p.add_argument("--objects", type=int, default=100)
     p.add_argument("--actions", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dist-version", type=int, default=3,
+                   help="procedural distribution version (4 = touch-dominant)")
+    p.add_argument("--from-obj-dir", default=None,
+                   help="ingest external .obj meshes instead of generating "
+                        "procedural objects (reference ABC path)")
 
     p = sub.add_parser("train-touch")
     p.add_argument("--root", required=True)
@@ -109,7 +114,8 @@ def main(argv=None) -> int:
         from active_3d_vision_and_touch_tpu.data.generation import generate_dataset
 
         splits = generate_dataset(
-            args.root, args.objects, seed=args.seed, num_actions=args.actions
+            args.root, args.objects, seed=args.seed, num_actions=args.actions,
+            version=args.dist_version, from_obj_dir=args.from_obj_dir
         )
         print(json.dumps({k: len(v) for k, v in splits.items()}))
         return 0

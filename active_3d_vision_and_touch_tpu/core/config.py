@@ -166,6 +166,16 @@ class PolicyConfig(VisionConfig):
     # reproduce by default for parity; "argmax" selects greedily w.r.t.
     # the regressed improvement from the same trained models.
     supervised_select: str = "argmin"
+    # per-step training epochs for the supervised policy (reference runs up
+    # to 3000 with patience 25, supervised/train.py:72-79 — scaled down;
+    # >1 enables validation-rollout best-model selection per step)
+    supervised_epochs: int = 1
+    # per-experiment artifact tag for save_result (eval.json /
+    # eval_trajectories.npz).  Eval-only variants that restore another
+    # policy's checkpoints (e.g. supervised_max re-scoring supervised's
+    # models) must override this so they never clobber the base policy's
+    # artifacts in the shared results_dir.
+    result_tag: str = "eval"
 
 
 @dataclass

@@ -136,6 +136,41 @@ def save_object_info(
     return names
 
 
+def ingest_obj_dir(root: str, obj_dir: str, scale: float = 3.1) -> list[str]:
+    """Ingest an external OBJ collection into ``object_info``.
+
+    The reference rescales/centers every downloaded ABC mesh before
+    simulation (``utility/data_making.py:76-95``); we apply the identical
+    normalization (:func:`core.mesh.scale_points` with the same default
+    scale) to each OBJ's vertices and then store verts/faces/obj in the
+    dataset layout, so the rest of the pipeline (point clouds, grasp
+    simulation, splits, training) is byte-for-byte the procedural path.
+    Files are taken in sorted order and renamed to the ``%06d`` scheme
+    (the original stem is kept in a sidecar ``<name>_source.txt``)."""
+    from glob import glob
+
+    from active_3d_vision_and_touch_tpu.core.mesh import load_obj, scale_points
+
+    paths = sorted(glob(os.path.join(obj_dir, "*.obj")))
+    if not paths:
+        raise FileNotFoundError(f"no .obj files found in {obj_dir!r}")
+    dirs = object_dirs(root)
+    os.makedirs(dirs["object_info"], exist_ok=True)
+    names = []
+    for i, path in enumerate(paths):
+        name = f"{i:06d}"
+        mesh = load_obj(path)
+        verts = scale_points(mesh.verts, scale=scale)
+        base = os.path.join(dirs["object_info"], name)
+        np.save(base + "_verts.npy", verts)
+        np.save(base + "_faces.npy", mesh.faces)
+        save_obj(base + ".obj", verts, mesh.faces)
+        with open(base + "_source.txt", "w") as f:
+            f.write(os.path.basename(path) + "\n")
+        names.append(name)
+    return names
+
+
 def save_point_info(root: str, dim: int = 128, num_points: int = 30000) -> None:
     dirs = object_dirs(root)
     os.makedirs(dirs["point_cloud_info"], exist_ok=True)
@@ -378,9 +413,17 @@ def generate_dataset(
     point_dim: int = 128,
     num_points: int = 30000,
     version: int = 3,
+    from_obj_dir: str | None = None,
 ) -> dict:
-    """One-call pipeline: objects → point clouds → simulation → split."""
-    names = save_object_info(root, num_objects, seed, version=version)
+    """One-call pipeline: objects → point clouds → simulation → split.
+
+    ``from_obj_dir`` swaps the procedural generator for an external OBJ
+    collection (reference ABC-download path, ``data_making.py:76-95``);
+    ``num_objects``/``seed``/``version`` are ignored in that mode."""
+    if from_obj_dir is not None:
+        names = ingest_obj_dir(root, from_obj_dir)
+    else:
+        names = save_object_info(root, num_objects, seed, version=version)
     save_point_info(root, dim=point_dim, num_points=num_points)
     save_simulation(root, num_actions=num_actions, names=names)
     return make_data_split(root)

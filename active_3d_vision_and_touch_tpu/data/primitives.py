@@ -316,7 +316,7 @@ def box_mesh(half_extents) -> Mesh:
 
 
 def slab_assembly(rng: np.random.Generator) -> Mesh:
-    """Union of 2-4 thin slabs/beams crossing near the origin — the
+    """Union of 1-4 thin slabs/beams crossing near the origin — the
     CAD-bracket entropy class (v4).  Thin surfaces at random orientations
     are expensive for a hedged mean-shape prior to cover under symmetric
     Chamfer (mass spent near one slab is wrong for every other object),
@@ -346,12 +346,13 @@ def slab_assembly(rng: np.random.Generator) -> Mesh:
 def shell_bowl(
     rng: np.random.Generator, amp_gain: float = 1.0, width_gain: float = 1.0
 ) -> Mesh:
-    """Open shell: a lobed blob with a planar cap of faces removed (v4).
-    Bowls/shells are a second unhedgeable class — the surviving surface is
-    one-sided and its opening direction is a per-object property, so a
-    hedged prior pays for both the phantom cap and the missing interior
-    mass.  Zero-thickness soup is fine downstream: carving, hull grasping
-    and the z-buffer renderers all accept open meshes."""
+    """Open shell: a lobed blob with a planar cap of faces removed.
+
+    EXPERIMENTAL / NOT IN THE SHIPPED v4 MIXTURE: tried during the v4
+    distribution design and rejected (ROADMAP round-3 ledger — shells
+    diluted hedged-proxy entropy and the opening direction is hard to pin
+    from contacts).  Kept only as a generator for future distribution
+    experiments; ``random_object`` never calls it."""
     base = lobed_blob(rng, subdivisions=3, amp_gain=0.6 * amp_gain,
                       width_gain=width_gain)
     n = rng.normal(size=3)
@@ -368,7 +369,10 @@ def shell_bowl(
 
 def random_object(seed: int, scale: float = 3.1, version: int = 3) -> Mesh:
     """Deterministic procedural object, preprocessed like dataset objects
-    (centered, max extent = 1/scale — reference ``data_making.py:76-95``).
+    (centered; for version<=3 max extent = 1/scale — reference
+    ``data_making.py:76-95``.  version>=4 multiplies a per-axis scale of
+    U(0.45, 2.2) AFTER normalization, so extents range up to 2.2/scale
+    per axis by design — see the v4 notes below).
 
     Distribution design (v3): the reference trains on ABC CAD parts whose
     gross-shape entropy makes an input-free prior ~4-6x worse than the

@@ -34,6 +34,28 @@ def main():
 
     dirs = object_dirs(args.root)
     t0 = time.time()
+    # provenance: a recycle must never orphan a results table again — the
+    # campaign driver asserts its GEN_SEED against this file before training
+    import json
+
+    os.makedirs(args.root, exist_ok=True)
+    meta_path = os.path.join(args.root, "gen_meta.json")
+    meta = {
+        "seed": args.seed,
+        "dist_version": args.dist_version,
+        "num_objects": args.num_objects,
+        "num_actions": args.num_actions,
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+        if old.get("seed") != meta["seed"] or old.get("dist_version") != meta["dist_version"]:
+            raise SystemExit(
+                f"gen_meta.json mismatch: {old} on disk vs requested {meta} — "
+                "refusing to mix distributions in one dataset root"
+            )
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
     names = save_object_info(
         args.root, args.num_objects, args.seed, version=args.dist_version
     )

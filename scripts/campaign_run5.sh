@@ -28,6 +28,23 @@ EVAL_BATCHES=${EVAL_BATCHES:-25}   # x env_batch_size 8 = 200 episodes
 LOGS="$OUT/logs"
 mkdir -p "$LOGS"
 
+# Dataset provenance gate (VERDICT r3 #6): the results table must be tied
+# to a reproducible generator seed/version.  campaign_generate.py writes
+# gen_meta.json; refuse to train against a root whose provenance does not
+# match this campaign's GEN_SEED.
+if [ -f "$ROOT/gen_meta.json" ]; then
+  python - "$ROOT" "$GEN_SEED" <<'EOF' || exit 1
+import json, sys
+meta = json.load(open(f"{sys.argv[1]}/gen_meta.json"))
+want = int(sys.argv[2])
+assert meta["seed"] == want and meta["dist_version"] == 4, \
+    f"dataset provenance mismatch: {meta} vs GEN_SEED={want}, dist_version=4"
+EOF
+else
+  echo "WARNING: $ROOT/gen_meta.json missing — provenance unverified" \
+    | tee -a "$LOGS/driver.log"
+fi
+
 # VERDICT r2 #10: re-measure clustered-NN agreement on this dataset before
 # trusting it as the training loss (logged metric; aborts campaign if the
 # CD bias exceeds the gate)

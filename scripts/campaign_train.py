@@ -367,24 +367,34 @@ def stage_policies(args, exp):
         run("even", EvenEngine, seeds=bseeds)
     if want("greedy"):  # deterministic candidate sweep: one seed (ref ±0.00)
         run("greedy", GreedyEngine)
-    if want("mfba"):
+    if want("mfba"):  # ≥2 seeds (VERDICT r3 #5: sequence policies need bars)
         run("mfba", MFBAEngine,
             lambda e: e.train(train_fraction=args.seq_train_fraction,
-                              max_batches=tb), seeds=seeds[:1])
+                              max_batches=tb), seeds=seeds[: args.seq_seeds])
     if want("leba"):
         run("leba", LEBAEngine,
             lambda e: e.train(train_fraction=args.seq_train_fraction,
-                              max_batches=tb), seeds=seeds[:1])
+                              max_batches=tb), seeds=seeds[: args.seq_seeds])
     if astate is not None and want("nearest_neighbor"):
         run("nearest_neighbor", NearestNeighborEngine,
             lambda e: e.train(train_fraction=1.0, max_batches=tb), seeds=seeds)
+    # Supervised value regression (r3 fix): on this CD scale the absolute
+    # improvement (~0.14) is 1/1000th of the reference's ±100 "wide" squash
+    # — regression there is noise-dominated (r3: 88.0±1.7, worse than
+    # random).  Train with the reference's --normalize variant (relative
+    # improvement, ±1 squash, supervised/model.py:52-53), their lr (1e-3,
+    # train.py:418) and scaled-down per-step validation model selection.
+    sup_over = {"normalize": True, "lr": 1e-3, "supervised_epochs": 3}
     if astate is not None and want("supervised"):
         run("supervised", SupervisedEngine,
-            lambda e: e.train(max_batches_per_step=tb), seeds=seeds)
+            lambda e: e.train(max_batches_per_step=tb), seeds=seeds,
+            overrides=sup_over)
         # same trained value models, sign-consistent selection (see
         # PolicyConfig.supervised_select) — eval-only, no retraining
         run("supervised_max", SupervisedEngine, seeds=seeds,
-            overrides={"supervised_select": "argmax"}, ckpt_name="supervised")
+            overrides=dict(sup_over, supervised_select="argmax",
+                           result_tag="eval_max"),
+            ckpt_name="supervised")
     if astate is not None and want("ddqn"):
         run("ddqn", DDQNEngine,
             lambda e: [e.train_epoch(max_batches=tb) for _ in range(de)],
@@ -423,6 +433,8 @@ def main():
                     help="comma list: one trained model per seed for the "
                          "learned policies (reference: 5-model mean±std)")
     ap.add_argument("--baseline-seeds", default="0,1,2")
+    ap.add_argument("--seq-seeds", type=int, default=2,
+                    help="seed count for the MFBA/LEBA sequence policies")
     ap.add_argument("--seq-train-fraction", type=float, default=1.0,
                     help="fraction of RL_train scanned per MFBA/LEBA step "
                          "(reference default 0.4)")

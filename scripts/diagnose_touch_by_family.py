@@ -40,15 +40,15 @@ def family_of(seed: int, version: int = 3) -> str:
             return "composed"
         return "legacy_mix"
     if version >= 4:
-        if u < 0.30:
+        # Mirrors primitives.random_object version>=4 exactly (u is the
+        # first rng draw there too; amp/width gains are drawn after u).
+        if u < 0.35:
             return "lobed_blob"
-        if u < 0.45:
+        if u < 0.50:
             return "multi_blob"
-        if u < 0.70:
+        if u < 0.80:
             return "slab_assembly"
-        if u < 0.82:
-            return "shell_bowl"
-        if u < 0.91:
+        if u < 0.90:
             return "eccentric_single"
         return "legacy_mix"
     if u < 0.55:

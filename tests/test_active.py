@@ -347,6 +347,13 @@ def test_supervised_and_nearest_and_ddqn(world):
     result = sup.evaluate(split="test", max_batches=1)
     assert np.isfinite(result.pct_cd_remaining)
 
+    # epochs>1 path: validation-rollout model selection per step
+    # (reference supervised/train.py:63-79 scaled down)
+    score = sup._validate_step(0, max_batches=1)
+    assert np.isfinite(score)
+    sup.train(max_batches_per_step=1, epochs=2, patience=1)
+    assert len(sup.params) == cfg.budget
+
     # selection-rule override: argmax must pin taken actions LOW and pick
     # the complementary extreme of the same value models
     obs = {"mask": np.zeros((1, cfg.num_actions), np.float32),
