@@ -35,7 +35,7 @@ jax.config.update(
 )
 
 
-def measure_steps_per_sec(loss_nn: str, steps: int) -> float:
+def measure_steps_per_sec(loss_nn: str, steps: int, windows: int = 1) -> float:
     from active_3d_vision_and_touch_tpu.core.config import VisionConfig
     from active_3d_vision_and_touch_tpu.parallel import (
         data_parallel_mesh,
@@ -74,13 +74,20 @@ def measure_steps_per_sec(loss_nn: str, steps: int) -> float:
     state, loss = engine._jit_train(engine.state, batch, key)
     jax.block_until_ready(loss)
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, loss = engine._jit_train(state, batch, jax.random.fold_in(key, i))
-    # the state chain forces execution; one final fetch fences the tunnel
-    float(np.asarray(loss))
-    dt = time.perf_counter() - t0
-    return steps / dt
+    # median over windows: the axon tunnel occasionally stalls for seconds
+    # (measured: identical 20-step windows spanning 7.3 s to 28 s), so a
+    # single window is not a stable throughput estimate
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, loss = engine._jit_train(
+                state, batch, jax.random.fold_in(key, w * steps + i)
+            )
+        # the state chain forces execution; one final fetch fences the tunnel
+        float(np.asarray(loss))
+        rates.append(steps / (time.perf_counter() - t0))
+    return float(np.median(rates))
 
 
 def _cluster_agreement() -> dict:
@@ -112,8 +119,8 @@ def main():
     from active_3d_vision_and_touch_tpu.core.config import VisionConfig
 
     loss_nn = VisionConfig().loss_nn  # the shipped training default
-    value = measure_steps_per_sec(loss_nn, steps=20)
-    xla = measure_steps_per_sec("xla", steps=4)
+    value = measure_steps_per_sec(loss_nn, steps=40, windows=5)
+    xla = measure_steps_per_sec("xla", steps=6, windows=3)
     payload = {
         "metric": "vision_touch_train_steps_per_sec_bs16",
         "value": round(value, 4),
