@@ -80,6 +80,12 @@ for S in $SETTINGS; do
       >> "$LOGS/diagnose.log" 2>&1 || true
   fi
   stage "auto_$S" --stage auto --setting "$S" --auto-epochs "$AUTO_EPOCHS" || exit 1
+  # latent informativeness (VERDICT r3 #3: on v3 the step-0 latent was
+  # nearly object-independent, starving NN/supervised/DDQN_l of signal)
+  if [ ! -f "$OUT/latent_diag_$S.json" ]; then
+    python scripts/diagnose_latents.py --root "$ROOT" --out "$OUT" \
+      --setting "$S" >> "$LOGS/diagnose.log" 2>&1 || true
+  fi
   stage "policies_$S" --stage policies --setting "$S" --greedy-checks 50 \
     --seeds "$SEEDS" --baseline-seeds "$BASELINE_SEEDS" \
     --eval-batches "$EVAL_BATCHES" --ddqn-epochs "$DDQN_EPOCHS" \
