@@ -107,6 +107,13 @@ class VisionConfig(BaseConfig):
     num_gcn_layers: int = 20
     hidden_gcn_size: int = 300
     cut: float = 0.33
+    # Global touch-context pathway (ours, no reference counterpart): pool
+    # successful-contact chart features into one per-object vector and
+    # broadcast it to every vertex at each deformation stage.  Motivated by
+    # the v4 regime failure: per-axis object scale is GLOBAL entropy, but a
+    # GCN only propagates contact evidence locally through the atlas seams
+    # (round-4 gate: 0->5-grasp CD cut was ~0 without it).
+    touch_global: bool = False
     num_cnn_blocks: int = 6
     layers_per_block: int = 3
     cnn_kernel: int = 5

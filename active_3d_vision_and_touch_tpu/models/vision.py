@@ -111,6 +111,7 @@ class Deformation(nn.Module):
 
     use_img: bool = True
     use_touch: bool = True
+    touch_global: bool = False
     num_gcn_layers: int = 20
     hidden_gcn_size: int = 300
     cut: float = 0.33
@@ -151,6 +152,28 @@ class Deformation(nn.Module):
 
         vc = charts["vision_charts"].shape[1]
 
+        # ---- global touch context (ours, no reference counterpart):
+        # successful contacts pin the object's gross scale/pose — GLOBAL
+        # entropy that local GCN message passing cannot carry from the
+        # seam-stitched chart vertices to the whole atlas (measured: on the
+        # v4 distribution the 0->5-grasp CD cut was ~0 without this).  Pool
+        # the contact charts' positional features (masked mean + max) into
+        # one vector per object, broadcast to every vertex at every stage.
+        touch_ctx = None
+        if self.use_touch and self.touch_global:
+            t_pos = charts["touch_charts"]
+            contact = (charts["touch_masks"] == 2.0).astype(t_pos.dtype)
+            t_feat = positional(t_pos)  # params shared with vertex encoding
+            n_contact = jnp.maximum(contact.sum(axis=1), 1.0)
+            ctx_mean = (t_feat * contact).sum(axis=1) / n_contact
+            masked = jnp.where(contact > 0, t_feat, -1e9)
+            ctx_max = jnp.where(
+                contact.sum(axis=1) > 0, masked.max(axis=1), 0.0
+            )
+            touch_ctx = nn.Dense(fsize, name="touch_context")(
+                jnp.concatenate([ctx_mean, ctx_max], axis=-1)
+            )[:, None, :]
+
         if img_features is not None:
             global_feats, local_feats = img_features
         elif self.use_img:
@@ -172,11 +195,15 @@ class Deformation(nn.Module):
                 [charts["vision_masks"], charts["touch_masks"]], axis=1
             )
             features = positional(vertices) + mask_enc(mask)
+            if touch_ctx is not None:
+                features = features + touch_ctx
             stage1_adj = adj
         else:
             vertices = charts["vision_charts"]
             mask = charts["vision_masks"]
             features = positional(vertices) + mask_enc(mask)
+            if touch_ctx is not None:
+                features = features + touch_ctx
             if self.use_img:
                 features = features + pool_image_features(
                     global_feats, vertices, self.camera
@@ -196,6 +223,8 @@ class Deformation(nn.Module):
             )
         mask_features = mask_enc(mask)
         features = positional(vertices) + mask_features
+        if touch_ctx is not None:
+            features = features + touch_ctx
         if self.use_img:
             features = features + pool_image_features(
                 local_feats, vertices, self.camera
@@ -207,6 +236,8 @@ class Deformation(nn.Module):
 
         # ---- stage 3: same GCN (shared weights), refreshed features
         features = positional(vertices) + mask_features
+        if touch_ctx is not None:
+            features = features + touch_ctx
         if self.use_img:
             features = features + pool_image_features(
                 local_feats, vertices, self.camera

@@ -31,6 +31,7 @@ def build_deformation(config: VisionConfig):
     model = Deformation(
         use_img=config.use_img,
         use_touch=config.use_touch,
+        touch_global=config.touch_global,
         num_gcn_layers=config.num_gcn_layers,
         hidden_gcn_size=config.hidden_gcn_size,
         cut=config.cut,

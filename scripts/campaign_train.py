@@ -134,6 +134,7 @@ def stage_vision(args, exp):
     use_img, finger, use_touch = setting["use_img"], setting["finger"], True
     vcfg = VisionConfig(
         use_img=use_img, use_touch=use_touch, finger=finger,
+        touch_global=args.touch_global,
         batch_size=16, number_points=args.number_points,
         loss_nn=args.loss_nn,  # exact beats clustered below ~15k points
         experiments_root=exp, exp_type="vision",
@@ -191,6 +192,7 @@ def stage_auto(args, exp):
     use_img, finger, use_touch = setting["use_img"], setting["finger"], True
     vcfg = VisionConfig(
         use_img=use_img, use_touch=use_touch, finger=finger, batch_size=16,
+        touch_global=args.touch_global,
         number_points=args.number_points, experiments_root=exp,
         exp_type="vision", exp_id=f"campaign_{args.setting}", eval=True,
     )
@@ -264,6 +266,7 @@ def stage_policies(args, exp):
     )
     vcfg = VisionConfig(
         use_img=use_img, use_touch=use_touch, finger=finger, batch_size=16,
+        touch_global=args.touch_global,
         number_points=args.number_points, experiments_root=exp,
         exp_type="vision", exp_id=f"campaign_{args.setting}", eval=True,
     )
@@ -294,6 +297,7 @@ def stage_policies(args, exp):
 
     pcfg_base = dict(
         use_img=use_img, use_touch=use_touch, finger=finger,
+        touch_global=args.touch_global,
         number_points=args.number_points, env_batch_size=args.env_batch_size,
         budget=5, num_grasps=5, greedy_checks=args.greedy_checks,
         use_latent=astate is not None,
@@ -439,6 +443,11 @@ def main():
                     help="fraction of RL_train scanned per MFBA/LEBA step "
                          "(reference default 0.4)")
     ap.add_argument("--epsilon-decay", type=float, default=0.9999)
+    ap.add_argument("--touch-global", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="global touch-context pathway in the deformation "
+                         "model (pooled contact features broadcast to every "
+                         "vertex); must match the trained checkpoint")
     ap.add_argument("--loss-nn", default="exact",
                     help="training-loss NN kernel; measured at bs16/10k pts:"
                          " exact 124 ms/step, clustered 138, xla 200 — the"

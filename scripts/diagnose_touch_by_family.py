@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--dist-version", type=int, default=3)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--number-points", type=int, default=10000)
+    ap.add_argument("--touch-global", action=argparse.BooleanOptionalAction,
+                    default=True, help="must match the trained checkpoint")
     ap.add_argument("--split", default="valid")
     args = ap.parse_args()
 
@@ -81,6 +83,7 @@ def main():
     exp = os.path.join(args.out, "exp")
     vcfg = VisionConfig(
         use_img=False, use_touch=True, finger=False, batch_size=args.batch_size,
+        touch_global=args.touch_global,
         number_points=args.number_points, experiments_root=exp, exp_type="vision",
         exp_id=args.exp_id, eval=True,
     )
