@@ -104,6 +104,38 @@ def test_autoencoder_roundtrip(adj_info):
     assert np.allclose(only, latent)
 
 
+def test_deformation_touch_global_context(adj_info):
+    """The global touch-context pathway: contact statistics must reach every
+    vision vertex (moving a contact changes the whole prediction) and the
+    no-contact batch element must stay finite (the masked stats zero out)."""
+    model = Deformation(use_img=False, use_touch=True, touch_global=True, **SMALL)
+    b = 2
+    mesh = jnp.asarray(vision_charts().verts)
+    tc = np.zeros((b, 8, 25, 4), np.float32)
+    # element 0: one successful contact chart away from the origin;
+    # element 1: every slot failed (mask 0) — no contacts at all
+    tc[0, 0, :, :3] = 0.4
+    tc[0, 0, :, 3] = 2.0
+    charts = prepare_charts(jnp.asarray(tc), mesh, b)
+    adj = jnp.asarray(adj_info.adj)
+    orig = jnp.asarray(adj_info.original)
+    variables = model.init(jax.random.PRNGKey(0), None, charts, adj, orig)
+    assert "touch_context" in variables["params"]
+    verts, _ = model.apply(variables, None, charts, adj, orig)
+    assert np.all(np.isfinite(np.asarray(verts)))
+    # translate the contact chart: a purely local model would only move the
+    # (frozen) touch verts, but the broadcast context shifts vision verts too
+    tc2 = tc.copy()
+    tc2[0, 0, :, :3] = -0.4
+    charts2 = prepare_charts(jnp.asarray(tc2), mesh, b)
+    verts2, _ = model.apply(variables, None, charts2, adj, orig)
+    nv = adj_info.num_vision_verts
+    delta = np.abs(np.asarray(verts2[0, :nv]) - np.asarray(verts[0, :nv])).max()
+    assert delta > 1e-4
+    # the contact-free element must be byte-identical (context is zeroed)
+    assert np.allclose(verts2[1], verts[1], atol=1e-6)
+
+
 def test_deformation_gradients_flow(adj_info):
     model = Deformation(use_img=False, use_touch=True, **SMALL)
     b = 1
