@@ -307,7 +307,8 @@ def stage_policies(args, exp):
         epsilon_decay=args.epsilon_decay,
     )
     env = ActiveTouchEnv(
-        PolicyConfig(**pcfg_base), tstate, vstate, astate, auto_model
+        PolicyConfig(**pcfg_base), tstate, vstate, astate, auto_model,
+        chart_cache_root=args.root,  # skip live sim: gather cached charts
     )
 
     def write_entry(name, entry):

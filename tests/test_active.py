@@ -183,6 +183,59 @@ def test_env_single_finger_setting(world):
     assert scores.shape == (B, 2) and np.isfinite(scores).all()
 
 
+def test_chart_cache_matches_live_sim(world):
+    """An env backed by the dataset's precomputed chart cache must produce
+    the same signals and scores as live simulation: make_touch_charts runs
+    the same frozen touch model over the same deterministic grasps, so the
+    gather path is signal-identical (the reference re-simulates every
+    probe, environment.py:167-213)."""
+    from active_3d_vision_and_touch_tpu.data.generation import make_touch_charts
+
+    tmp, config, env, batch = world
+    touch_cfg = TouchConfig(experiments_root=os.path.join(tmp, "exp"), eval=True)
+    engine = TouchEngine(touch_cfg, log=False)
+    touch_state = engine.init_state(jax.random.PRNGKey(0))
+    make_touch_charts(tmp, engine, touch_state, batch=8, num_actions=4)
+
+    cached_env = ActiveTouchEnv(
+        config, touch_state, env.vision_state, env.auto_state, env.auto_model,
+        chart_cache_root=tmp,
+    )
+    live_env = ActiveTouchEnv(
+        config, touch_state, env.vision_state, env.auto_state, env.auto_model
+    )
+
+    obs_c = cached_env.reset(batch)
+    # every (object, action<4) pair primed without touching the simulator
+    assert all(
+        (str(n), a) in cached_env._sig_cache
+        for n in batch["names"]
+        for a in range(4)
+    )
+    obs_l = live_env.reset(batch)
+    assert np.allclose(obs_c["score"], obs_l["score"], rtol=1e-4)
+
+    # identical PRNG streams + identical charts => identical step scores
+    for action in ([1, 3], [2, 0]):
+        oc, rc, _ = cached_env.step(np.array(action))
+        ol, rl, _ = live_env.step(np.array(action))
+        assert np.array_equal(
+            cached_env.current["touch_masks"], live_env.current["touch_masks"]
+        )
+        assert np.allclose(
+            cached_env.current["touch_charts"],
+            live_env.current["touch_charts"],
+            atol=1e-5,
+        )
+        assert np.allclose(oc["score"], ol["score"], rtol=1e-4), (
+            oc["score"], ol["score"])
+
+    # actions outside the cached range fall back to live simulation
+    cached_env.reset(batch)
+    scores = cached_env.score_candidates(np.array([[1, 2], [2, 1]]), chunk=2)
+    assert np.isfinite(scores).all()
+
+
 def test_samplers_never_repeat():
     mask = np.zeros((3, 50))
     rs = RandomSampler(50, seed=0)
