@@ -65,6 +65,12 @@ def run_rollouts(
             actions.append(acts)
         all_scores.append(np.stack(scores, axis=1))
         all_actions.append(np.stack(actions, axis=1))
+    if not all_scores:
+        raise ValueError(
+            "rollout loader yielded no batches — the split has fewer "
+            "objects than env_batch_size (ActiveDataset truncates to a "
+            "multiple of it, reference data_loaders.py:285-288)"
+        )
     return RolloutResult(
         scores=np.concatenate(all_scores, axis=0),
         actions=np.concatenate(all_actions, axis=0),

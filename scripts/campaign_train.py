@@ -145,7 +145,7 @@ def stage_vision(args, exp):
     def vloader(split, shuffle):
         ds = VisionDataset(
             args.root, split=split, use_img=use_img, use_touch=use_touch,
-            num_grasps=5, number_points=args.number_points,
+            finger=finger, num_grasps=5, number_points=args.number_points,
         )
         return lambda: Loader(ds, vcfg.batch_size, shuffle=shuffle)
 
@@ -214,7 +214,7 @@ def stage_auto(args, exp):
     def aloader(split, shuffle):
         ds = VisionDataset(
             args.root, split=split, use_img=use_img, use_touch=use_touch,
-            num_grasps=5, number_points=args.number_points,
+            finger=finger, num_grasps=5, number_points=args.number_points,
         )
         return lambda: Loader(ds, acfg.batch_size, shuffle=shuffle)
 

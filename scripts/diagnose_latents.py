@@ -96,7 +96,7 @@ def main():
         eval=True,
     )
     env = ActiveTouchEnv(pcfg, tstate, vstate, {"params": raw["params"]},
-                         auto_model)
+                         auto_model, chart_cache_root=args.root)
 
     ds = ActiveDataset(args.root, split="valid", use_img=use_img,
                        number_points=args.number_points,

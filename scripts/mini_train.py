@@ -122,7 +122,8 @@ def main():
         experiments_root=exp, eval=True,
     )
     env = ActiveTouchEnv(
-        PolicyConfig(**pcfg_base), touch.state, vision.state
+        PolicyConfig(**pcfg_base), touch.state, vision.state,
+        chart_cache_root=args.root,
     )
     summary["policies"] = {}
     for cls in (RandomEngine, EvenEngine, GreedyEngine):

@@ -121,6 +121,7 @@ def main():
         PolicyConfig(**pcfg_base),
         tstate,
         vstate,
+        chart_cache_root=args.root,
         auto_state={"params": jax.device_get(auto.state)["params"]},
         auto_model=auto.model,
     )

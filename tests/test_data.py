@@ -103,6 +103,16 @@ def test_touch_charts_and_vision_dataset(dataset_root):
         assert item["img"].shape == (256, 256, 3)
         assert item["touch_charts"].shape == (2, 4, 25, 4)
 
+    # single-finger (t_p/v_t_p) variant slices the canonical finger:
+    # charts drop the finger axis (reference --finger, vision/train.py:218)
+    ds_p = VisionDataset(
+        root, split=split, num_grasps=2, number_points=128, num_actions=6,
+        use_img=False, use_touch=True, finger=True,
+    )
+    if len(ds_p):
+        item = ds_p[0]
+        assert item["touch_charts"].shape == (2, 25, 4)
+
 
 def test_active_dataset(dataset_root):
     root, splits = dataset_root
