@@ -68,8 +68,17 @@ def main():
     tstate = CheckpointManager(tcfg.checkpoint_dir).restore(
         touch.init_state(jax.random.PRNGKey(0)), "best"
     )
+    # model-shape flags must match the trained checkpoint — read them back
+    # from the checkpoint's own config.json instead of re-deriving
+    vsaved = load_config(
+        os.path.join(exp, "checkpoint", "vision", f"campaign_{args.setting}"),
+        VisionConfig,
+    )
     vcfg = VisionConfig(
         use_img=use_img, use_touch=True, finger=finger, batch_size=16,
+        touch_global=vsaved.touch_global,
+        num_gcn_layers=vsaved.num_gcn_layers,
+        hidden_gcn_size=vsaved.hidden_gcn_size, cut=vsaved.cut,
         number_points=args.number_points, experiments_root=exp,
         exp_type="vision", exp_id=f"campaign_{args.setting}", eval=True,
     )
@@ -91,6 +100,9 @@ def main():
     )
     pcfg = PolicyConfig(
         use_img=use_img, use_touch=True, finger=finger,
+        touch_global=vsaved.touch_global,
+        num_gcn_layers=vsaved.num_gcn_layers,
+        hidden_gcn_size=vsaved.hidden_gcn_size, cut=vsaved.cut,
         number_points=args.number_points, env_batch_size=args.env_batch_size,
         budget=5, num_grasps=5, use_latent=True, experiments_root=exp,
         eval=True,
