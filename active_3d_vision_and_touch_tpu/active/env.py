@@ -277,10 +277,13 @@ class ActiveTouchEnv:
         scores = np.concatenate([np.asarray(f) for f in futures], axis=1)
         return scores[:, :k]
 
-    def best_step(self, greedy_checks: int | None = None):
-        """Myopic oracle: score candidate actions in batched device
-        launches, commit the best unseen one per element (reference
-        ``environment.py:167-213``)."""
+    def best_action(self, greedy_checks: int | None = None) -> np.ndarray:
+        """Myopic-oracle action selection WITHOUT committing a step: score
+        candidates in batched device launches and return the best unseen
+        action per element.  MFBA's tally only needs the argmin (the
+        reference calls ``best_step`` and discards the committed
+        observation, ``MFBA.py:95-99`` — one full reconstruction+CD pass
+        per batch wasted)."""
         c = self.config
         b = c.env_batch_size
         if greedy_checks is None or greedy_checks >= c.num_actions:
@@ -315,9 +318,14 @@ class ActiveTouchEnv:
         scores = np.where(seen, np.inf, scores)
         best_action = candidates[np.arange(b), np.argmin(scores, axis=1)]
         all_seen = np.isinf(scores).all(axis=1)
-        best_action = np.where(all_seen, 0, best_action)  # legacy fallback
-        obs, reward, done = self.step(best_action)
-        return best_action, obs, reward, done
+        return np.where(all_seen, 0, best_action)  # legacy fallback
+
+    def best_step(self, greedy_checks: int | None = None):
+        """Myopic oracle: ``best_action`` then commit it (reference
+        ``environment.py:167-213``)."""
+        best = self.best_action(greedy_checks)
+        obs, reward, done = self.step(best)
+        return best, obs, reward, done
 
     def reset_sampler(self) -> None:
         """Tear down and rebuild the host simulator scenes (API parity with

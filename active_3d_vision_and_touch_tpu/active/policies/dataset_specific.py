@@ -119,7 +119,10 @@ class MFBAEngine(_SequenceEngine):
         self.counts = blob["counts"]
 
     def _accumulate(self, batch):
-        actions, *_ = self.env.best_step(greedy_checks=self.config.greedy_checks)
+        # selection only — the reference commits the step too but discards
+        # the observation (MFBA.py:95-99), paying one reconstruction+CD
+        # pass per batch for nothing
+        actions = self.env.best_action(greedy_checks=self.config.greedy_checks)
         for a in actions:
             self.counts[a] += 1
 
