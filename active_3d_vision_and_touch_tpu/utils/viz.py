@@ -98,16 +98,34 @@ def visualize_actions(
     _save_png(os.path.join(location, "sphere_projection.png"), canvas)
 
 
-def render_mesh_image(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
-    renderer = SceneRenderer(PinholeCamera())
+def _fitted_camera(coords: np.ndarray, fit: bool) -> PinholeCamera:
+    """The fixed paper camera, pulled back along its axis when the object
+    overflows the frame (v4 draws per-axis scales up to 2.2x the ±0.16
+    canonical extent — result renders should show the whole shape; the
+    MODEL's pooling camera is untouched)."""
+    cam = PinholeCamera()
+    if fit:
+        r = float(np.abs(np.asarray(coords)).max())
+        k = max(1.0, r / 0.16)
+        if k > 1.0:
+            cam = PinholeCamera(position=tuple(np.array(cam.position) * k))
+    return cam
+
+
+def render_mesh_image(
+    verts: np.ndarray, faces: np.ndarray, fit: bool = False
+) -> np.ndarray:
+    renderer = SceneRenderer(_fitted_camera(verts, fit))
     return renderer.render(
         [Mesh(verts, faces)], [np.array([228.0, 217.0, 111.0])]
     )
 
 
-def render_points_image(points: np.ndarray, size: int = 256) -> np.ndarray:
+def render_points_image(
+    points: np.ndarray, size: int = 256, fit: bool = False
+) -> np.ndarray:
     """Splat a point cloud through the scene camera."""
-    cam = PinholeCamera()
+    cam = _fitted_camera(points, fit)
     uvz = cam.project(np.asarray(points))
     img = np.full((size, size, 3), 255, np.uint8)
     u = np.clip(uvz[:, 0].astype(int), 0, size - 1)
@@ -155,14 +173,28 @@ def visualize_prediction(
         short = str(name).rstrip("/").split("/")[-1]
         out = os.path.join(location, short)
         os.makedirs(out, exist_ok=True)
+        # frame prediction and GT through the SAME fitted camera so the
+        # pair is visually comparable
+        ref = (
+            gt_points[i]
+            if gt_points is not None
+            else np.asarray(meshes[i])
+        )
+        cam = _fitted_camera(ref, fit=True)
         _save_png(
             os.path.join(out, "prediction.png"),
-            render_mesh_image(np.asarray(meshes[i]), np.asarray(faces)),
+            SceneRenderer(cam).render(
+                [Mesh(np.asarray(meshes[i]), np.asarray(faces))],
+                [np.array([228.0, 217.0, 111.0])],
+            ),
         )
         if gt_points is not None:
-            _save_png(
-                os.path.join(out, "ground_truth_points.png"),
-                render_points_image(np.asarray(gt_points[i])),
-            )
+            pts = np.asarray(gt_points[i])
+            uvz = cam.project(pts)
+            img = np.full((256, 256, 3), 255, np.uint8)
+            u = np.clip(uvz[:, 0].astype(int), 0, 255)
+            v = np.clip(uvz[:, 1].astype(int), 0, 255)
+            img[v, u] = (60, 90, 200)
+            _save_png(os.path.join(out, "ground_truth_points.png"), img)
         out_dirs.append(out)
     return out_dirs
