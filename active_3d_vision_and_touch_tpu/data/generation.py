@@ -127,11 +127,15 @@ def save_object_info(
     names = []
     for i in range(num_objects):
         name = f"{i:06d}"
-        mesh = random_object(seed * 1_000_003 + i, version=version)
         base = os.path.join(dirs["object_info"], name)
-        np.save(base + "_verts.npy", mesh.verts)
-        np.save(base + "_faces.npy", mesh.faces)
-        save_obj(base + ".obj", mesh.verts, mesh.faces)
+        if not os.path.exists(base + "_faces.npy"):
+            # objects are deterministic per (seed, index): skipping existing
+            # ones is a pure no-op that also keeps growth runs from
+            # rewriting files a concurrently-running campaign is reading
+            mesh = random_object(seed * 1_000_003 + i, version=version)
+            np.save(base + "_verts.npy", mesh.verts)
+            np.save(base + "_faces.npy", mesh.faces)
+            save_obj(base + ".obj", mesh.verts, mesh.faces)
         names.append(name)
     return names
 

@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--num-actions", type=int, default=50)
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--dist-version", type=int, default=3)
+    ap.add_argument("--no-split", action="store_true",
+                    help="skip data_split.npy rewrites: grow a dataset "
+                    "behind a RUNNING campaign without changing what its "
+                    "loaders see; write the split later with a final "
+                    "plain run or data.generation.make_data_split")
     args = ap.parse_args()
 
     from active_3d_vision_and_touch_tpu.data.generation import (
@@ -75,7 +80,8 @@ def main():
         chunk = todo[start : start + args.chunk]
         t1 = time.time()
         save_simulation(args.root, num_actions=args.num_actions, names=chunk)
-        make_data_split(args.root)
+        if not args.no_split:
+            make_data_split(args.root)
         done = len(names) - len(todo) + start + len(chunk)
         rate = (time.time() - t1) / len(chunk)
         print(
@@ -83,7 +89,8 @@ def main():
             f"{(len(todo) - start - len(chunk)) * rate / 60:.0f} min left)",
             flush=True,
         )
-    make_data_split(args.root)
+    if not args.no_split:
+        make_data_split(args.root)
     print(f"done in {(time.time() - t0) / 60:.1f} min", flush=True)
 
 
