@@ -331,7 +331,12 @@ def stage_policies(args, exp):
         README.md:176-181).  Per-seed results accumulate in the entry so
         an interrupted stage resumes at the missing seed.  ``ckpt_name``
         points the engine at another policy's checkpoints (eval-only
-        variants, e.g. supervised_max re-scoring supervised's models)."""
+        variants, e.g. supervised_max re-scoring supervised's models).
+
+        --eval-only skips training entirely: every engine restores its
+        trained state from --exp-root's checkpoints, so an already-trained
+        table can be re-scored (e.g. on a grown test split) into a fresh
+        --out."""
         entry = read_entry(name) or {"seeds": {}}
         entry.setdefault("seeds", {})
         for seed in seeds:
@@ -342,6 +347,8 @@ def stage_policies(args, exp):
                           exp_id=f"campaign_{args.setting}_{ckpt_name or name}_s{seed}")
             cfg_kw.update(overrides or {})
             engine = engine_cls(PolicyConfig(**cfg_kw), data_root=args.root, env=env)
+            if args.eval_only:
+                train_fn = None
             if train_fn is not None:
                 train_fn(engine)
             result = engine.evaluate("test", max_batches=args.eval_batches)
@@ -455,9 +462,16 @@ def main():
                          " Morton prep only pays above ~15k points")
     ap.add_argument("--policies", default=None,
                     help="comma list to restrict which policies run")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="policies stage: skip training, restore trained "
+                         "state from --exp-root checkpoints and only "
+                         "evaluate (re-score a finished table on a grown "
+                         "test split)")
+    ap.add_argument("--exp-root", default=None,
+                    help="checkpoint root override (default <out>/exp)")
     args = ap.parse_args()
 
-    exp = os.path.join(args.out, "exp")
+    exp = args.exp_root or os.path.join(args.out, "exp")
     {
         "touch": stage_touch,
         "charts": stage_charts,
