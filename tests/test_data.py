@@ -153,3 +153,33 @@ def test_loader_process_shard(dataset_root):
         seen.append({tuple(map(str, n)) for n in names})
     assert not (seen[0] & seen[1])
     assert len(seen[0] | seen[1]) == len(ds)
+
+
+def test_data_split_stable_under_growth(tmp_path):
+    """Growing a dataset must never move an existing object between splits
+    (the per-name hash bucket contract: results tables stay extendable and
+    pilot training can never leak later test objects)."""
+    import numpy as np
+    from active_3d_vision_and_touch_tpu.data.generation import (
+        make_data_split, object_dirs,
+    )
+
+    root = str(tmp_path)
+    info = object_dirs(root)["object_info"]
+    os.makedirs(info)
+
+    def add(lo, hi):
+        for i in range(lo, hi):
+            np.save(os.path.join(info, f"{i:06d}_verts.npy"), np.zeros((3, 3)))
+
+    add(0, 120)
+    before = make_data_split(root)
+    assign_before = {n: k for k, v in before.items() for n in v}
+    add(120, 200)
+    after = make_data_split(root)
+    assign_after = {n: k for k, v in after.items() for n in v}
+    assert len(assign_after) == 200
+    for n, k in assign_before.items():
+        assert assign_after[n] == k  # no object changed split
+    # every split really grew or stayed (proportional buckets)
+    assert all(len(after[k]) >= len(before[k]) for k in before)
