@@ -114,6 +114,11 @@ class VisionConfig(BaseConfig):
     # GCN only propagates contact evidence locally through the atlas seams
     # (round-4 gate: 0->5-grasp CD cut was ~0 without it).
     touch_global: bool = False
+    # Per-contact plane features (ours): closed-form grid-tangent plane
+    # fits of each contact chart, pooled into the global context and
+    # broadcast per-vertex — targets the slab family, the measured worst
+    # touch-exploitation tail on v4 (86.5% CD remaining after 5 grasps).
+    touch_plane: bool = False
     num_cnn_blocks: int = 6
     layers_per_block: int = 3
     cnn_kernel: int = 5

@@ -106,12 +106,58 @@ def pool_image_features(
     return jnp.concatenate(pooled, axis=-1)
 
 
+def chart_plane_features(
+    t_pos: jnp.ndarray, contact: jnp.ndarray, n: int = 5
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-chart plane features from the 5x5 touch-chart grids.
+
+    A contact chart pins the LOCAL SURFACE PLANE exactly — the strongest
+    signal for orienting v4's thin slab faces (by-family diagnostic:
+    slabs were the worst touch-exploitation tail at 86.5% CD remaining,
+    results_r4/touch_value_by_family.json).  The chart is a deformed
+    row-major (n x n) sheet (core/mesh.py::touch_chart), so grid tangents
+    give a closed-form normal without an eigendecomposition (and without
+    eigh's degenerate-gradient pathologies on the zero-padded empty
+    slots).  No reference counterpart — the reference never feeds chart
+    geometry back as an explicit orientation feature.
+
+    Returns ``(feats, has)``: feats (B, C, 8) = [n n^T upper triangle (6)
+    | planarity | residual rms] per chart — n n^T is sign-invariant, so
+    the arbitrary tangent orientation of the predicted sheet cannot flip
+    the feature — and has (B, C, 1) the per-chart contact indicator.
+    Non-contact charts are zeroed.
+    """
+    B, V, _ = t_pos.shape
+    C = V // (n * n)
+    tc = t_pos.reshape(B, C, n, n, 3)
+    has = contact.reshape(B, C, n * n, 1)[:, :, 0, :]  # mask code is per-chart
+    tu = (tc[:, :, 1:, :, :] - tc[:, :, :-1, :, :]).mean(axis=(2, 3))
+    tv = (tc[:, :, :, 1:, :] - tc[:, :, :, :-1, :]).mean(axis=(2, 3))
+    nrm = jnp.cross(tu, tv)
+    nrm = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12
+    )
+    flat = tc.reshape(B, C, n * n, 3)
+    d = flat - flat.mean(axis=2, keepdims=True)
+    var_n = jnp.square((d * nrm[:, :, None, :]).sum(-1)).mean(-1)  # (B, C)
+    tot = jnp.square(d).sum(-1).mean(-1)
+    planarity = 1.0 - var_n / jnp.maximum(tot, 1e-12)
+    rms = jnp.sqrt(var_n + 1e-12)
+    iu, ju = jnp.triu_indices(3)
+    nnt = (nrm[..., :, None] * nrm[..., None, :])[..., iu, ju]  # (B, C, 6)
+    feats = jnp.concatenate(
+        [nnt, planarity[..., None], rms[..., None]], axis=-1
+    )
+    return feats * has, has
+
+
 class Deformation(nn.Module):
     """Three-stage GCN chart deformation."""
 
     use_img: bool = True
     use_touch: bool = True
     touch_global: bool = False
+    touch_plane: bool = False
     num_gcn_layers: int = 20
     hidden_gcn_size: int = 300
     cut: float = 0.33
@@ -195,6 +241,38 @@ class Deformation(nn.Module):
                 )
             )[:, None, :]
 
+        # ---- per-contact plane features (ours): each chart's fitted plane
+        # orients the local surface exactly — pooled into the global context
+        # AND broadcast per-vertex so the GCN can orient thin slab faces
+        # (the measured worst touch-exploitation family on v4).
+        plane_tail = None
+        if self.use_touch and self.touch_plane:
+            t_pos = charts["touch_charts"]
+            contact = (charts["touch_masks"] == 2.0).astype(t_pos.dtype)
+            pf, phas = chart_plane_features(t_pos, contact)
+            n_charts = jnp.maximum(phas.sum(axis=1), 1.0)
+            any_c = phas.sum(axis=1) > 0  # (B, 1)
+            pf_mean = pf.sum(axis=1) / n_charts
+            pf_max = jnp.where(
+                any_c, jnp.where(phas > 0, pf, -1e9).max(axis=1), 0.0
+            )
+            plane_ctx = nn.Dense(fsize, name="plane_context")(
+                jnp.concatenate([pf_mean, pf_max], axis=-1)
+            )[:, None, :]
+            touch_ctx = plane_ctx if touch_ctx is None else touch_ctx + plane_ctx
+            verts_per_chart = t_pos.shape[1] // pf.shape[1]
+            plane_tail = nn.Dense(fsize, name="plane_vertex")(
+                jnp.repeat(pf, verts_per_chart, axis=1)
+            )
+
+        def with_plane_tail(features: jnp.ndarray) -> jnp.ndarray:
+            # add per-vertex plane features at the touch-vert tail [vc:]
+            if plane_tail is None or features.shape[1] == vc:
+                return features
+            return jnp.concatenate(
+                [features[:, :vc], features[:, vc:] + plane_tail], axis=1
+            )
+
         if img_features is not None:
             global_feats, local_feats = img_features
         elif self.use_img:
@@ -215,7 +293,7 @@ class Deformation(nn.Module):
             mask = jnp.concatenate(
                 [charts["vision_masks"], charts["touch_masks"]], axis=1
             )
-            features = positional(vertices) + mask_enc(mask)
+            features = with_plane_tail(positional(vertices) + mask_enc(mask))
             if touch_ctx is not None:
                 features = features + touch_ctx
             stage1_adj = adj
@@ -243,7 +321,7 @@ class Deformation(nn.Module):
                 [charts["vision_masks"], charts["touch_masks"]], axis=1
             )
         mask_features = mask_enc(mask)
-        features = positional(vertices) + mask_features
+        features = with_plane_tail(positional(vertices) + mask_features)
         if touch_ctx is not None:
             features = features + touch_ctx
         if self.use_img:
@@ -256,7 +334,7 @@ class Deformation(nn.Module):
         )
 
         # ---- stage 3: same GCN (shared weights), refreshed features
-        features = positional(vertices) + mask_features
+        features = with_plane_tail(positional(vertices) + mask_features)
         if touch_ctx is not None:
             features = features + touch_ctx
         if self.use_img:

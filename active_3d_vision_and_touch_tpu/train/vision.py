@@ -32,6 +32,7 @@ def build_deformation(config: VisionConfig):
         use_img=config.use_img,
         use_touch=config.use_touch,
         touch_global=config.touch_global,
+        touch_plane=config.touch_plane,
         num_gcn_layers=config.num_gcn_layers,
         hidden_gcn_size=config.hidden_gcn_size,
         cut=config.cut,

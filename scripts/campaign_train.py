@@ -135,6 +135,7 @@ def stage_vision(args, exp):
     vcfg = VisionConfig(
         use_img=use_img, use_touch=use_touch, finger=finger,
         touch_global=args.touch_global,
+        touch_plane=args.touch_plane,
         batch_size=16, number_points=args.number_points,
         loss_nn=args.loss_nn,  # exact beats clustered below ~15k points
         experiments_root=exp, exp_type="vision",
@@ -193,6 +194,7 @@ def stage_auto(args, exp):
     vcfg = VisionConfig(
         use_img=use_img, use_touch=use_touch, finger=finger, batch_size=16,
         touch_global=args.touch_global,
+        touch_plane=args.touch_plane,
         number_points=args.number_points, experiments_root=exp,
         exp_type="vision", exp_id=f"campaign_{args.setting}", eval=True,
     )
@@ -267,6 +269,7 @@ def stage_policies(args, exp):
     vcfg = VisionConfig(
         use_img=use_img, use_touch=use_touch, finger=finger, batch_size=16,
         touch_global=args.touch_global,
+        touch_plane=args.touch_plane,
         number_points=args.number_points, experiments_root=exp,
         exp_type="vision", exp_id=f"campaign_{args.setting}", eval=True,
     )
@@ -298,6 +301,7 @@ def stage_policies(args, exp):
     pcfg_base = dict(
         use_img=use_img, use_touch=use_touch, finger=finger,
         touch_global=args.touch_global,
+        touch_plane=args.touch_plane,
         number_points=args.number_points, env_batch_size=args.env_batch_size,
         budget=5, num_grasps=5, greedy_checks=args.greedy_checks,
         use_latent=astate is not None,
@@ -456,6 +460,12 @@ def main():
                     help="global touch-context pathway in the deformation "
                          "model (pooled contact features broadcast to every "
                          "vertex); must match the trained checkpoint")
+    ap.add_argument("--touch-plane", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="per-contact plane features (grid-tangent chart "
+                         "plane fits, pooled + per-vertex) — the slab-"
+                         "orientation lead; must match the trained "
+                         "checkpoint")
     ap.add_argument("--loss-nn", default="exact",
                     help="training-loss NN kernel; measured at bs16/10k pts:"
                          " exact 124 ms/step, clustered 138, xla 200 — the"

@@ -212,3 +212,80 @@ def test_gcn_layer_cut_semantics_golden():
     out2 = layer2.apply({"params": {"weight": w, "bias": b}}, feats, adj)
     expected2 = np.asarray(adj) @ fw[0] + np.asarray(b)
     assert np.allclose(np.asarray(out2)[0], expected2, atol=1e-5)
+
+
+def test_chart_plane_features_analytic():
+    """Grid-tangent plane fits recover a known tilted plane's normal (as
+    n n^T, sign-invariant), report planarity ~1 for flat sheets, and zero
+    out non-contact charts."""
+    from active_3d_vision_and_touch_tpu.models.vision import chart_plane_features
+
+    rng = np.random.default_rng(0)
+    b, c, n = 2, 3, 5
+    lin = np.linspace(-1.0, 1.0, n, dtype=np.float32)
+    xx, yy = np.meshgrid(lin, lin, indexing="ij")
+    # chart 0: plane with normal along a random unit vector
+    normal = rng.normal(size=3)
+    normal /= np.linalg.norm(normal)
+    u = np.array([1.0, 0.0, 0.0]) - normal[0] * normal
+    u /= np.linalg.norm(u)
+    v = np.cross(normal, u)
+    plane = xx[..., None] * u + yy[..., None] * v + 0.3
+    t_pos = np.zeros((b, c * n * n, 3), np.float32)
+    contact = np.zeros((b, c * n * n, 1), np.float32)
+    t_pos[0, : n * n] = plane.reshape(-1, 3)
+    contact[0, : n * n] = 1.0
+    # chart 1 of element 0: non-planar noise, still contact
+    t_pos[0, n * n : 2 * n * n] = rng.normal(size=(n * n, 3)).astype(np.float32)
+    contact[0, n * n : 2 * n * n] = 1.0
+    feats, has = chart_plane_features(jnp.asarray(t_pos), jnp.asarray(contact), n=n)
+    feats = np.asarray(feats)
+    has = np.asarray(has)
+    assert feats.shape == (b, c, 8) and has.shape == (b, c, 1)
+    iu, ju = np.triu_indices(3)
+    want_nnt = np.outer(normal, normal)[iu, ju]
+    assert np.allclose(feats[0, 0, :6], want_nnt, atol=1e-4)
+    assert feats[0, 0, 6] > 0.999  # planarity ~1 for an exact plane
+    assert feats[0, 0, 7] < 1e-3  # residual rms ~0
+    assert feats[0, 1, 6] < 0.9  # noise chart is far from planar
+    # non-contact charts (and the all-failed element) are exactly zero
+    assert np.all(feats[0, 2] == 0.0)
+    assert np.all(feats[1] == 0.0)
+    assert has[0, 0] == 1.0 and has[1].sum() == 0.0
+
+
+def test_deformation_touch_plane_pathway(adj_info):
+    """touch_plane=True: plane features reach vision verts through the
+    pooled context (rotating a contact chart in place changes the whole
+    prediction) and the contact-free element stays unchanged + finite."""
+    model = Deformation(
+        use_img=False, use_touch=True, touch_global=True, touch_plane=True,
+        **SMALL,
+    )
+    b = 2
+    mesh = jnp.asarray(vision_charts().verts)
+    lin = np.linspace(-0.05, 0.05, 5, dtype=np.float32)
+    xx, yy = np.meshgrid(lin, lin, indexing="ij")
+    flat = np.stack([xx, yy, np.zeros_like(xx)], -1).reshape(-1, 3)
+    tc = np.zeros((b, 8, 25, 4), np.float32)
+    tc[0, 0, :, :3] = flat + 0.3
+    tc[0, 0, :, 3] = 2.0
+    charts = prepare_charts(jnp.asarray(tc), mesh, b)
+    adj = jnp.asarray(adj_info.adj)
+    orig = jnp.asarray(adj_info.original)
+    variables = model.init(jax.random.PRNGKey(0), None, charts, adj, orig)
+    assert "plane_context" in variables["params"]
+    assert "plane_vertex" in variables["params"]
+    verts, _ = model.apply(variables, None, charts, adj, orig)
+    assert np.all(np.isfinite(np.asarray(verts)))
+    # rotate the chart 90 degrees about x IN PLACE (same centroid, same
+    # point statistics up to axis swap — but a different surface plane)
+    rot = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)
+    tc2 = tc.copy()
+    tc2[0, 0, :, :3] = flat @ rot.T + 0.3
+    charts2 = prepare_charts(jnp.asarray(tc2), mesh, b)
+    verts2, _ = model.apply(variables, None, charts2, adj, orig)
+    nv = adj_info.num_vision_verts
+    delta = np.abs(np.asarray(verts2[0, :nv]) - np.asarray(verts[0, :nv])).max()
+    assert delta > 1e-4
+    assert np.allclose(verts2[1], verts[1], atol=1e-6)
