@@ -130,13 +130,21 @@ def chart_plane_features(
     B, V, _ = t_pos.shape
     C = V // (n * n)
     tc = t_pos.reshape(B, C, n, n, 3)
-    has = contact.reshape(B, C, n * n, 1)[:, :, 0, :]  # mask code is per-chart
+    # robust to per-point masks: a chart counts as contact if ANY slot does
+    # (identical under the current per-chart mask-code invariant)
+    has = contact.reshape(B, C, n * n, 1).max(axis=2)
     tu = (tc[:, :, 1:, :, :] - tc[:, :, :-1, :, :]).mean(axis=(2, 3))
     tv = (tc[:, :, :, 1:, :] - tc[:, :, :, :-1, :]).mean(axis=(2, 3))
-    nrm = jnp.cross(tu, tv)
-    nrm = nrm / jnp.maximum(
-        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12
-    )
+    # double-where guard: padded (and degenerate) charts have a zero cross
+    # product, and the norm VJP at zero is NaN — a jnp.maximum on the norm
+    # alone does not stop it (0 * NaN = NaN through the unselected branch).
+    # Substitute a safe unit vector INSIDE the norm so no NaN cotangent can
+    # flow if charts ever become differentiable inputs.
+    cross = jnp.cross(tu, tv)
+    degen = jnp.sum(jnp.square(cross), axis=-1, keepdims=True) < 1e-24
+    e3 = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], t_pos.dtype), cross.shape)
+    safe = jnp.where(degen, e3, cross)
+    nrm = safe / jnp.linalg.norm(safe, axis=-1, keepdims=True)
     flat = tc.reshape(B, C, n * n, 3)
     d = flat - flat.mean(axis=2, keepdims=True)
     var_n = jnp.square((d * nrm[:, :, None, :]).sum(-1)).mean(-1)  # (B, C)

@@ -43,7 +43,7 @@ stage() {
 }
 
 pol() {  # pol <setting> <policy-subset>
-  stage "policies_$1_${2//,/–}" --stage policies --setting "$1" \
+  stage "policies_$1_${2//,/-}" --stage policies --setting "$1" \
     --policies "$2" --greedy-checks 50 --seeds 0,1,2 --baseline-seeds 0,1,2 \
     --eval-batches 25 --ddqn-epochs 3 --policy-train-batches 40 \
     --seq-train-fraction 0.4 --epsilon-decay 0.994
