@@ -84,12 +84,24 @@ def morton_codes(points: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.n
 
 
 def _sort_by_morton(pts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Sort each batch's points along the Z-curve; returns (sorted, perm)."""
+    """Sort each batch's points along the Z-curve; returns (sorted, perm).
+
+    One variadic stable lax.sort carries the iota AND the three coordinate
+    planes alongside the codes — index-identical to argsort + gather (both
+    are stable sorts on the same key), but the (B, N, 3) take_along_axis
+    disappears (argsort is itself a (codes, iota) lax.sort, so the fused
+    form sorts 3 extra payload operands instead of paying a separate
+    gather's HBM round trip)."""
     lo = jnp.min(pts, axis=1, keepdims=True)
     hi = jnp.max(pts, axis=1, keepdims=True)
     codes = morton_codes(pts, lo, hi)  # (B, N)
-    perm = jnp.argsort(codes, axis=1)
-    return jnp.take_along_axis(pts, perm[..., None], axis=1), perm
+    b, n = codes.shape
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    _, perm, sx, sy, sz = jax.lax.sort(
+        (codes, iota, pts[..., 0], pts[..., 1], pts[..., 2]),
+        dimension=1, num_keys=1, is_stable=True,
+    )
+    return jnp.stack([sx, sy, sz], axis=-1), perm
 
 
 def _edge_pad_points(x, mult):

@@ -139,7 +139,7 @@ def stage_vision(args, exp):
         batch_size=16, number_points=args.number_points,
         loss_nn=args.loss_nn,  # exact beats clustered below ~15k points
         experiments_root=exp, exp_type="vision",
-        exp_id=f"campaign_{args.setting}", patience=args.patience, lr=3e-4,
+        exp_id=f"campaign_{args.sid}", patience=args.patience, lr=3e-4,
     )
     vision = VisionEngine(vcfg, log=True)
 
@@ -166,10 +166,10 @@ def stage_vision(args, exp):
         vision.state = best_state
     mean_cd, per_object = vision.evaluate_detailed(
         vloader("valid", False)(),
-        visualize_dir=os.path.join(args.out, f"renders_{args.setting}"),
+        visualize_dir=os.path.join(args.out, f"renders_{args.sid}"),
         max_visualize=6,
     )
-    write_summary(args.out, f"vision_{args.setting}", {
+    write_summary(args.out, f"vision_{args.sid}", {
         "untrained_valid_cd": v_first, "best_valid_cd": v_best,
         "detailed_valid_cd": mean_cd,
         "epochs_run": vision.epoch, "seconds": round(time.time() - t0, 1),
@@ -196,7 +196,7 @@ def stage_auto(args, exp):
         touch_global=args.touch_global,
         touch_plane=args.touch_plane,
         number_points=args.number_points, experiments_root=exp,
-        exp_type="vision", exp_id=f"campaign_{args.setting}", eval=True,
+        exp_type="vision", exp_id=f"campaign_{args.sid}", eval=True,
     )
     vision = VisionEngine(vcfg, log=False)
     vstate = CheckpointManager(vcfg.checkpoint_dir).restore(
@@ -209,7 +209,7 @@ def stage_auto(args, exp):
         number_points=args.number_points, encoding_size=200,
         loss_nn=args.loss_nn,
         experiments_root=exp, exp_type="auto",
-        exp_id=f"campaign_{args.setting}", patience=max(args.patience // 2, 3),
+        exp_id=f"campaign_{args.sid}", patience=max(args.patience // 2, 3),
     )
     auto = AutoencoderEngine(acfg, vision_engine=vision, vision_state=vstate, log=True)
 
@@ -224,7 +224,7 @@ def stage_auto(args, exp):
     a_best = auto.fit(
         aloader("auto_train", True), aloader("valid", False), epochs=args.auto_epochs
     )
-    write_summary(args.out, f"autoencoder_{args.setting}", {
+    write_summary(args.out, f"autoencoder_{args.sid}", {
         "best_valid_cd": a_best, "seconds": round(time.time() - t0, 1),
     })
 
@@ -271,7 +271,7 @@ def stage_policies(args, exp):
         touch_global=args.touch_global,
         touch_plane=args.touch_plane,
         number_points=args.number_points, experiments_root=exp,
-        exp_type="vision", exp_id=f"campaign_{args.setting}", eval=True,
+        exp_type="vision", exp_id=f"campaign_{args.sid}", eval=True,
     )
     vision = VisionEngine(vcfg, log=False)
     vstate = CheckpointManager(vcfg.checkpoint_dir).restore(
@@ -282,7 +282,7 @@ def stage_policies(args, exp):
     auto_model, astate = None, None
     acfg = AutoencoderConfig(
         experiments_root=exp, exp_type="auto",
-        exp_id=f"campaign_{args.setting}", eval=True, encoding_size=200,
+        exp_id=f"campaign_{args.sid}", eval=True, encoding_size=200,
     )
     raw = CheckpointManager(acfg.checkpoint_dir).restore_raw("best")
     if raw is not None:
@@ -297,6 +297,34 @@ def stage_policies(args, exp):
             grid_size=saved.grid_size,
         )
         astate = {"params": raw["params"]}
+
+    # per-row provenance (VERDICT r4 weak #4): every results row must name
+    # the vision checkpoint, dataset incarnation, and test-split size it
+    # was scored against — summary.json rows accumulate across sessions
+    # and machine recycles, so lineage cannot be left implicit.
+    def _digest(tree):
+        return round(float(sum(
+            float(np.sum(np.abs(np.asarray(l, dtype=np.float64))))
+            for l in jax.tree_util.tree_leaves(tree)
+        )), 4)
+
+    gen_meta = None
+    gm_path = os.path.join(args.root, "gen_meta.json")
+    if os.path.exists(gm_path):
+        gen_meta = json.load(open(gm_path))
+    split = np.load(
+        os.path.join(args.root, "data_split.npy"), allow_pickle=True
+    ).item()
+    provenance = {
+        "vision_exp_id": f"campaign_{args.sid}",
+        "vision_param_digest": _digest(vstate["params"]),
+        "auto_param_digest": _digest(astate["params"]) if astate else None,
+        "data_root": args.root,
+        "gen_meta": gen_meta,
+        "split_sizes": {k: len(v) for k, v in split.items()},
+        "env_batch_size": args.env_batch_size,
+        "eval_batches": args.eval_batches,
+    }
 
     pcfg_base = dict(
         use_img=use_img, use_touch=use_touch, finger=finger,
@@ -318,7 +346,7 @@ def stage_policies(args, exp):
     def write_entry(name, entry):
         path = os.path.join(args.out, "summary.json")
         summary = json.load(open(path)) if os.path.exists(path) else {}
-        summary.setdefault(f"policies_{args.setting}", {})[name] = entry
+        summary.setdefault(f"policies_{args.sid}", {})[name] = entry
         with open(path, "w") as f:
             json.dump(summary, f, indent=2)
         print(name, entry, flush=True)
@@ -326,7 +354,7 @@ def stage_policies(args, exp):
     def read_entry(name):
         path = os.path.join(args.out, "summary.json")
         summary = json.load(open(path)) if os.path.exists(path) else {}
-        return summary.get(f"policies_{args.setting}", {}).get(name)
+        return summary.get(f"policies_{args.sid}", {}).get(name)
 
     def run(name, engine_cls, train_fn=None, seeds=(0,), overrides=None,
             ckpt_name=None):
@@ -348,7 +376,7 @@ def stage_policies(args, exp):
                 continue
             t1 = time.time()
             cfg_kw = dict(pcfg_base, seed=seed,
-                          exp_id=f"campaign_{args.setting}_{ckpt_name or name}_s{seed}")
+                          exp_id=f"campaign_{args.sid}_{ckpt_name or name}_s{seed}")
             cfg_kw.update(overrides or {})
             engine = engine_cls(PolicyConfig(**cfg_kw), data_root=args.root, env=env)
             if args.eval_only:
@@ -366,6 +394,7 @@ def stage_policies(args, exp):
                 [s["mean_reward"] for s in entry["seeds"].values()]
             ))
             entry["episodes"] = entry["seeds"][str(seed)]["episodes"]
+            entry["provenance"] = provenance
             write_entry(name, entry)
 
     only = set(args.policies.split(",")) if args.policies else None
@@ -381,8 +410,9 @@ def stage_policies(args, exp):
         run("random", RandomEngine, seeds=bseeds)
     if want("even"):
         run("even", EvenEngine, seeds=bseeds)
-    if want("greedy"):  # deterministic candidate sweep: one seed (ref ±0.00)
-        run("greedy", GreedyEngine)
+    if want("greedy"):  # near-deterministic candidate sweep (ref ±0.00);
+        # 2 seeds anyway so the upper-bound anchor carries its own bar
+        run("greedy", GreedyEngine, seeds=bseeds[:2])
     if want("mfba"):  # ≥2 seeds (VERDICT r3 #5: sequence policies need bars)
         run("mfba", MFBAEngine,
             lambda e: e.train(train_fraction=args.seq_train_fraction,
@@ -472,6 +502,11 @@ def main():
                          " Morton prep only pays above ~15k points")
     ap.add_argument("--policies", default=None,
                     help="comma list to restrict which policies run")
+    ap.add_argument("--tag", default="",
+                    help="variant suffix for exp ids and summary keys "
+                         "(e.g. --tag plane trains/evaluates "
+                         "campaign_<setting>_plane without touching the "
+                         "untagged checkpoints or rows — A/B runs)")
     ap.add_argument("--eval-only", action="store_true",
                     help="policies stage: skip training, restore trained "
                          "state from --exp-root checkpoints and only "
@@ -481,6 +516,8 @@ def main():
                     help="checkpoint root override (default <out>/exp)")
     args = ap.parse_args()
 
+    # variant id: "<setting>[_<tag>]" — used for exp ids and summary keys
+    args.sid = args.setting + (f"_{args.tag}" if args.tag else "")
     exp = args.exp_root or os.path.join(args.out, "exp")
     {
         "touch": stage_touch,

@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--number-points", type=int, default=10000)
     ap.add_argument("--touch-global", action=argparse.BooleanOptionalAction,
                     default=True, help="must match the trained checkpoint")
+    ap.add_argument("--touch-plane", action=argparse.BooleanOptionalAction,
+                    default=False, help="must match the trained checkpoint")
+    ap.add_argument("--suffix", default="",
+                    help="output suffix: touch_value_by_family<suffix>.json")
     ap.add_argument("--split", default="valid")
     args = ap.parse_args()
 
@@ -84,6 +88,7 @@ def main():
     vcfg = VisionConfig(
         use_img=False, use_touch=True, finger=False, batch_size=args.batch_size,
         touch_global=args.touch_global,
+        touch_plane=args.touch_plane,
         number_points=args.number_points, experiments_root=exp, exp_type="vision",
         exp_id=args.exp_id, eval=True,
     )
@@ -120,7 +125,7 @@ def main():
         entry["pct_remaining_5"] = round(100.0 * entry["cd_5"] / entry["cd_0"], 1)
         report[fam] = entry
         print(fam, entry, flush=True)
-    with open(os.path.join(args.out, "touch_value_by_family.json"), "w") as f:
+    with open(os.path.join(args.out, f"touch_value_by_family{args.suffix}.json"), "w") as f:
         json.dump(report, f, indent=2)
 
 

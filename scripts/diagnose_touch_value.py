@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--number-points", type=int, default=10000)
     ap.add_argument("--touch-global", action=argparse.BooleanOptionalAction,
                     default=True, help="must match the trained checkpoint")
+    ap.add_argument("--touch-plane", action=argparse.BooleanOptionalAction,
+                    default=False, help="must match the trained checkpoint")
+    ap.add_argument("--suffix", default="",
+                    help="output filename suffix: touch_value<suffix>.json "
+                         "(A/B runs against variant checkpoints)")
     args = ap.parse_args()
 
     import jax
@@ -42,6 +47,7 @@ def main():
     vcfg = VisionConfig(
         use_img=False, use_touch=True, finger=False, batch_size=args.batch_size,
         touch_global=args.touch_global,
+        touch_plane=args.touch_plane,
         number_points=args.number_points, experiments_root=exp, exp_type="vision",
         exp_id=args.exp_id, eval=True,
     )
@@ -64,7 +70,7 @@ def main():
         cd = engine.run_epoch(iter(loader), train=False)
         results[grasps] = round(float(cd), 3)
         print(f"val_grasps={grasps}: CD={cd:.3f}")
-    with open(os.path.join(args.out, "touch_value.json"), "w") as f:
+    with open(os.path.join(args.out, f"touch_value{args.suffix}.json"), "w") as f:
         json.dump(results, f, indent=2)
 
 

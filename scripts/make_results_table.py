@@ -39,6 +39,7 @@ REFERENCE = {  # BASELINE.md (reference Results.png), for the side-by-side
 
 
 def fmt_cell(cell) -> str:
+    """mean±std (n=seeds) — every cell states its n (VERDICT r4 #7)."""
     if not cell:
         return "| — "
     val = cell.get("pct_cd_remaining")
@@ -47,8 +48,8 @@ def fmt_cell(cell) -> str:
     std = cell.get("pct_cd_std")
     n_seeds = len(cell.get("seeds", {}))
     if std is not None and n_seeds > 1:
-        return f"| {val:.1f}±{std:.1f} "
-    return f"| {val:.1f} "
+        return f"| {val:.1f}±{std:.1f} (n={n_seeds}) "
+    return f"| {val:.1f} (n={n_seeds or 1}) "
 
 
 def main():
@@ -106,6 +107,40 @@ def main():
         )
     if proto:
         lines += ["", "Protocol (episodes per cell, models per policy):"] + proto
+    # per-setting provenance: which vision checkpoint / dataset incarnation /
+    # split every row was scored against (rows accumulate across sessions)
+    prov_lines = []
+    for key, block in sorted(summary.items()):
+        if not key.startswith("policies_"):
+            continue
+        provs = {
+            json.dumps(cell["provenance"], sort_keys=True)
+            for cell in block.values()
+            if isinstance(cell, dict) and cell.get("provenance")
+        }
+        for p in sorted(provs):
+            d = json.loads(p)
+            gm = d.get("gen_meta") or {}
+            prov_lines.append(
+                f"- `{key[len('policies_'):]}`: vision `{d.get('vision_exp_id')}`"
+                f" digest {d.get('vision_param_digest')}"
+                + (f", auto digest {d.get('auto_param_digest')}"
+                   if d.get("auto_param_digest") else "")
+                + f"; data `{d.get('data_root')}` (seed {gm.get('seed')},"
+                f" dist v{gm.get('dist_version')}, {gm.get('num_objects')} objects)"
+                f"; test split {d.get('split_sizes', {}).get('test')} objects"
+            )
+        n_missing = sum(
+            1 for cell in block.values()
+            if isinstance(cell, dict) and not cell.get("provenance")
+        )
+        if n_missing:
+            prov_lines.append(
+                f"- `{key[len('policies_'):]}`: {n_missing} cell(s) predate"
+                " provenance capture (pre-round-5 sessions)"
+            )
+    if prov_lines:
+        lines += ["", "Provenance (checkpoint + dataset lineage per row):"] + prov_lines
     extras = []
     for key, block in sorted(summary.items()):
         if key.startswith("policies_") and block.get("supervised_max"):
