@@ -86,6 +86,17 @@ def main():
                 + "".join(f"| {ref[label]:.1f} " for _, label in COLUMNS)
                 + "|"
             )
+    have = {
+        k[len("policies_"):].replace("_r4legacy", "").replace("_plane", "")
+        for k in summary if k.startswith("policies_")
+    }
+    missing = [s for s in ("t_p", "t_g", "v_t_p", "v_t_g") if s not in have]
+    if missing:
+        lines += [
+            "",
+            "Settings with no rows yet (pending campaign stages): "
+            + ", ".join(f"`{s}`" for s in missing),
+        ]
     # evaluation protocol per setting: episodes per cell + seeds per policy
     # (reference: 1000 test objects x 5 deterministic draws, 5 models)
     proto = []
