@@ -1,43 +1,36 @@
 #!/bin/bash
-# Round-5 campaign driver, revision 2 — run8's plan re-budgeted for the
-# measured ~4.4 h of TPU time left in the round (run8's full plan needed
-# ~7 h).  Differences from run8:
+# Round-5 campaign driver, revision 3 — re-budgeted against the MEASURED
+# stage pace (vision ~65 s/epoch at 552 recon_train objects; policy
+# stages dominated by per-process env build + per-(policy,seed) sweeps).
+# Total remaining TPU work exceeds the remaining round clock, so stages
+# run in strict value order (VERDICT r4 asks #1-#4) and two deadline
+# gates cut the tail rather than the head:
 #
-#   * DEADLINE GATE: no new stage starts after $GATE_EPOCH; the watchdog
-#     (scripts/r5_watchdog.sh) hard-kills the tree at $KILL_EPOCH so the
-#     end-of-round bench gets the chip to itself (the 5x bar rides on it).
-#   * v_t_g completes ALL NINE policy columns (supervised included, 2
-#     seeds) before t_g work starts: one complete image-conditioned
-#     setting beats two partial ones (VERDICT r4 missing #1 / #4).
-#   * expensive learned/sequence policies run 2 seeds instead of 3
-#     (VERDICT asks >=2 for DDQN, >=2 for greedy); cheap baselines and NN
-#     keep 3.
-#   * the touch_plane A/B (vision retrain + touch-value + by-family
-#     diagnostics for BOTH arms) is banked BEFORE the t_g policy columns:
-#     it is the round's science deliverable (VERDICT r4 missing #2,
-#     weak #5) and costs ~40 min, while full t_g columns cost ~90.
-#   * t_g policy order is value-first: random,even (the regime anchor) ->
-#     ddqn,ddqn_m (missing #3) -> nearest_neighbor -> greedy -> mfba,leba
-#     -> supervised.  Whatever the gate cuts off is the cheapest loss.
-#   * t_p / v_t_p are dropped from this revision — they never fit in the
-#     remaining clock; the table states the gap.
+#   1. v_t_g vision/auto/latent-diag        (prereq for any v_t_g row)
+#   2. v_t_g random,even,greedy             (the setting's anchor rows)
+#   3. v_t_g ddqn,ddqn_m,nearest_neighbor   (VERDICT #3: DDQN rows on v4)
+#   4. t_g A/B: plain + plane vision arms at EQUAL epoch budgets, each
+#      followed by touch-value + by-family diagnostics (VERDICT #2)
+#   5. t_g random,even (plain) + random (plane): the regime anchors
+#   6. v_t_g supervised (VERDICT #4), then mfba,leba
+#   7. t_g auto/latents + learned t_g columns (whatever still fits)
 #
-# Every stage is checkpoint/summary-resumable (campaign_train.py restores
-# recent checkpoints + early-stop state); re-running continues.  The
-# driver git-commits $OUT after each stage so a recycle can never orphan
-# more than one stage.
+# Grouped policy subsets share one process/env build (~2-3 min saved per
+# merge); summary entries are written per (policy, seed), so even a kill
+# mid-stage loses at most one cell.  GATE_HEAVY stops new >15-min stages,
+# GATE_LIGHT stops everything; scripts/r5_watchdog.sh hard-kills the tree
+# at ~12:03 UTC so the end-of-round bench owns the chip.
 #
-# Usage: [ROOT=data_r4] [OUT=results_r4] [GATE_EPOCH=...] bash scripts/campaign_run9.sh
+# Usage: [ROOT=data_r4] [OUT=results_r4] bash scripts/campaign_run9.sh
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
 ROOT=${ROOT:-data_r4}
 OUT=${OUT:-results_r4}
 GEN_SEED=${GEN_SEED:-13}
-# round start 1787098690 (PROGRESS.jsonl ts - wall_s); round ends ~+12 h =
-# 1787141890 (~12:15 UTC).  Gate at 11:40, leaving the longest plausible
-# in-flight stage room to finish before the watchdog's 12:00 hard kill.
-GATE_EPOCH=${GATE_EPOCH:-1787139600}
+# round start 1787098690 (PROGRESS.jsonl ts - wall_s); ends ~1787141890.
+GATE_HEAVY=${GATE_HEAVY:-1787139480}   # ~11:38 UTC
+GATE_LIGHT=${GATE_LIGHT:-1787140500}   # ~11:55 UTC
 LOGS="$OUT/logs"
 mkdir -p "$LOGS"
 
@@ -54,9 +47,9 @@ bank() {  # commit the results dir after a stage (recycle insurance)
   git commit -q -m "campaign r5: $1" 2>/dev/null || true
 }
 
-gate() {  # no new stage after the gate epoch — free the chip for bench
-  if [ "$(date +%s)" -ge "$GATE_EPOCH" ]; then
-    echo "=== deadline gate hit before stage $1: $(date -u +%H:%M:%S) ===" \
+gated() {  # gated <epoch> <label>: exit cleanly once past the deadline
+  if [ "$(date +%s)" -ge "$1" ]; then
+    echo "=== gate hit before $2: $(date -u +%H:%M:%S) ===" \
       | tee -a "$LOGS/driver.log"
     python scripts/make_results_table.py --out "$OUT" >> "$LOGS/driver.log" 2>&1 || true
     bank "table at deadline gate"
@@ -64,9 +57,9 @@ gate() {  # no new stage after the gate epoch — free the chip for bench
   fi
 }
 
-stage() {
-  local name=$1; shift
-  gate "$name"
+stage() {  # stage <gate-epoch> <name> <campaign_train args...>
+  local g=$1 name=$2; shift 2
+  gated "$g" "stage $name"
   echo "=== stage $name: $(date -u +%H:%M:%S) ===" | tee -a "$LOGS/driver.log"
   python scripts/campaign_train.py --root "$ROOT" --out "$OUT" "$@" \
     >> "$LOGS/$name.log" 2>&1
@@ -76,9 +69,9 @@ stage() {
   return $rc
 }
 
-pol() {  # pol <setting> <policy-subset> <seeds> [extra args...]
-  local S=$1 P=$2 SEEDS=$3; shift 3
-  stage "policies_${S}_${P//,/-}" --stage policies --setting "$S" \
+pol() {  # pol <gate> <setting> <policy-subset> <seeds> [extra args...]
+  local G=$1 S=$2 P=$3 SEEDS=$4; shift 4
+  stage "$G" "policies_${S}_${P//,/-}" --stage policies --setting "$S" \
     --policies "$P" --greedy-checks 50 --seeds "$SEEDS" \
     --baseline-seeds 0,1,2 --eval-batches 25 --ddqn-epochs 3 \
     --policy-train-batches 40 --seq-train-fraction 0.4 \
@@ -89,47 +82,42 @@ table() {
   python scripts/make_results_table.py --out "$OUT" >> "$LOGS/driver.log" 2>&1 || true
 }
 
-# ---- B: v_t_g — the never-delivered image-conditioned setting, COMPLETE
-stage vision_v_t_g --stage vision --setting v_t_g \
+# ---- 1: v_t_g vision/auto/latents — prereq for the never-delivered
+# image-conditioned rows
+stage "$GATE_HEAVY" vision_v_t_g --stage vision --setting v_t_g \
   --vision-epochs 45 --patience 10 || exit 1
-stage auto_v_t_g --stage auto --setting v_t_g --auto-epochs 16 || exit 1
+stage "$GATE_HEAVY" auto_v_t_g --stage auto --setting v_t_g \
+  --auto-epochs 16 || exit 1
 if [ ! -f "$OUT/latent_diag_v_t_g.json" ]; then
   python scripts/diagnose_latents.py --root "$ROOT" --out "$OUT" \
     --setting v_t_g >> "$LOGS/diagnose.log" 2>&1 || true
   bank "latent diag v_t_g"
 fi
-pol v_t_g random,even 0,1,2 || exit 1
-pol v_t_g ddqn 0,1 || exit 1
-pol v_t_g ddqn_m 0,1,2 || exit 1  # ddqn_m slices seeds[:n-1] -> 2 seeds
-pol v_t_g nearest_neighbor 0,1,2 || exit 1
-pol v_t_g greedy 0,1 || exit 1
-pol v_t_g mfba 0,1 || exit 1
-pol v_t_g leba 0,1 || exit 1
-pol v_t_g supervised 0,1 || exit 1
-table; bank "v_t_g columns complete (9 policies)"
 
-# ---- C1: t_g vision/auto/latents (the A/B baseline arm)
-stage vision_t_g --stage vision --setting t_g \
-  --vision-epochs 45 --patience 8 || exit 1
-stage auto_t_g --stage auto --setting t_g --auto-epochs 16 || exit 1
-if [ ! -f "$OUT/latent_diag_t_g.json" ]; then
-  python scripts/diagnose_latents.py --root "$ROOT" --out "$OUT" \
-    --setting t_g >> "$LOGS/diagnose.log" 2>&1 || true
-  bank "latent diag t_g"
-fi
-gate "t_g diagnostics"
+# ---- 2: v_t_g anchor rows (random/even n=3, greedy n=2 via bseeds[:2])
+pol "$GATE_HEAVY" v_t_g random,even,greedy 0,1,2 || exit 1
+table; bank "v_t_g anchor rows"
+
+# ---- 3: v_t_g learned rows — DDQN on v4 is VERDICT r4 missing #3
+# (ddqn n=3, ddqn_m n=2 via seeds[:n-1], nearest_neighbor n=3)
+pol "$GATE_HEAVY" v_t_g ddqn,ddqn_m,nearest_neighbor 0,1,2 || exit 1
+table; bank "v_t_g ddqn/ddqn_m/nn rows"
+
+# ---- 4: t_g touch_plane A/B — both arms at the SAME epoch budget on the
+# same data and training seed; diagnostics bank right after each arm
+stage "$GATE_HEAVY" vision_t_g --stage vision --setting t_g \
+  --vision-epochs 28 --patience 5 || exit 1
+gated "$GATE_LIGHT" "t_g diagnostics"
 python scripts/diagnose_touch_value.py --root "$ROOT" --out "$OUT" \
   --exp-id campaign_t_g >> "$LOGS/diagnose.log" 2>&1 || true
 python scripts/diagnose_touch_by_family.py --root "$ROOT" --out "$OUT" \
   --exp-id campaign_t_g --gen-seed "$GEN_SEED" --dist-version 4 \
   >> "$LOGS/diagnose.log" 2>&1 || true
-bank "t_g touch-value diagnostics"
+bank "t_g touch-value diagnostics (plain arm)"
 
-# ---- C2: touch_plane A/B arm (same data + training seed; only the
-# pathway flag and the exp tag differ) — the round's science deliverable
-stage vision_t_g_plane --stage vision --setting t_g --tag plane \
-  --touch-plane --vision-epochs 45 --patience 8 || exit 1
-gate "plane diagnostics"
+stage "$GATE_HEAVY" vision_t_g_plane --stage vision --setting t_g \
+  --tag plane --touch-plane --vision-epochs 28 --patience 5 || exit 1
+gated "$GATE_LIGHT" "plane diagnostics"
 python scripts/diagnose_touch_value.py --root "$ROOT" --out "$OUT" \
   --exp-id campaign_t_g_plane --touch-plane --suffix _plane \
   >> "$LOGS/diagnose.log" 2>&1 || true
@@ -138,22 +126,31 @@ python scripts/diagnose_touch_by_family.py --root "$ROOT" --out "$OUT" \
   --gen-seed "$GEN_SEED" --dist-version 4 >> "$LOGS/diagnose.log" 2>&1 || true
 bank "touch_plane A/B diagnostics"
 
-# ---- C3: t_g policy columns, value-first
-pol t_g random,even 0,1,2 || exit 1
-# regime check on the plane arm: random-policy CD remaining on the best
-# configuration is VERDICT #2's done criterion
-pol t_g random 0,1,2 --tag plane --touch-plane || true
+# ---- 5: t_g regime anchor rows on the fresh checkpoints
+pol "$GATE_LIGHT" t_g random,even 0,1,2 || exit 1
+pol "$GATE_LIGHT" t_g random 0,1,2 --tag plane --touch-plane || true
 table; bank "t_g regime rows (plain + plane random)"
-pol t_g ddqn 0,1 || exit 1
-pol t_g ddqn_m 0,1,2 || exit 1  # ddqn_m slices seeds[:n-1] -> 2 seeds
-pol t_g nearest_neighbor 0,1,2 || exit 1
-pol t_g greedy 0,1 || exit 1
-pol t_g mfba 0,1 || exit 1
-pol t_g leba 0,1 || exit 1
-pol t_g supervised 0,1 || exit 1
-table; bank "t_g columns complete (9 policies)"
 
-# ---- G: final table
+# ---- 6: v_t_g long tail (supervised = VERDICT #4, then sequence policies)
+pol "$GATE_HEAVY" v_t_g supervised 0,1 || exit 1
+pol "$GATE_HEAVY" v_t_g mfba,leba 0,1 || exit 1
+table; bank "v_t_g supervised + sequence rows"
+
+# ---- 7: t_g learned columns (auto/latents first), value-first
+stage "$GATE_HEAVY" auto_t_g --stage auto --setting t_g --auto-epochs 12 || exit 1
+if [ ! -f "$OUT/latent_diag_t_g.json" ]; then
+  python scripts/diagnose_latents.py --root "$ROOT" --out "$OUT" \
+    --setting t_g >> "$LOGS/diagnose.log" 2>&1 || true
+  bank "latent diag t_g"
+fi
+pol "$GATE_HEAVY" t_g ddqn,ddqn_m,nearest_neighbor 0,1,2 || exit 1
+table; bank "t_g ddqn/ddqn_m/nn rows"
+pol "$GATE_HEAVY" t_g greedy 0,1 || exit 1
+pol "$GATE_HEAVY" t_g supervised 0,1 || exit 1
+pol "$GATE_HEAVY" t_g mfba,leba 0,1 || exit 1
+table; bank "t_g long-tail rows"
+
+# ---- final table
 python scripts/make_results_table.py --out "$OUT" | tee -a "$LOGS/driver.log"
 bank "final results table"
 echo "campaign run9 complete" | tee -a "$LOGS/driver.log"

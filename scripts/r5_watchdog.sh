@@ -11,7 +11,7 @@
 set -u
 cd "$(dirname "$0")/.."
 
-KILL_EPOCH=${KILL_EPOCH:-1787140800}   # ~11:59 UTC, round ends ~12:15
+KILL_EPOCH=${KILL_EPOCH:-1787141000}   # ~12:03 UTC, round ends ~12:15
 PIDFILE=/tmp/run9.pid
 DRIVER_LOG=results_r4/logs/driver.log
 
