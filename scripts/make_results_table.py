@@ -152,6 +152,61 @@ def main():
             )
     if prov_lines:
         lines += ["", "Provenance (checkpoint + dataset lineage per row):"] + prov_lines
+    # learned-policy conclusion (VERDICT r4 ask #4): for every setting with
+    # a random anchor, state whether each learned policy beats random and by
+    # how many sigma (sigma = sqrt(std_r^2 + std_p^2) over policy seeds), and
+    # attach the latent-informativeness probe when one was committed.
+    LEARNED = ["nearest_neighbor", "ddqn", "ddqn_m", "supervised"]
+    concl = []
+    for key, block in sorted(summary.items()):
+        if not key.startswith("policies_"):
+            continue
+        setting = key[len("policies_"):]
+        rnd = block.get("random")
+        if not isinstance(rnd, dict) or rnd.get("pct_cd_remaining") is None:
+            continue
+        r_val, r_std = rnd["pct_cd_remaining"], rnd.get("pct_cd_std") or 0.0
+        parts = []
+        for pol in LEARNED:
+            cell = block.get(pol)
+            if not isinstance(cell, dict) or cell.get("pct_cd_remaining") is None:
+                continue
+            p_val = cell["pct_cd_remaining"]
+            p_std = cell.get("pct_cd_std") or 0.0
+            margin = r_val - p_val
+            sigma = (r_std ** 2 + p_std ** 2) ** 0.5
+            z = abs(margin) / sigma if sigma > 0 else None
+            sig = f"{z:.1f}σ" if z is not None else "n/a σ"
+            if margin <= 0:
+                verdict = "does not beat"
+            elif z is not None and z < 2:
+                verdict = "edges (within noise)"
+            else:
+                verdict = "beats"
+            parts.append(
+                f"{pol} {verdict} random by {margin:+.1f} pts ({sig},"
+                f" n={len(cell.get('seeds', {}))})"
+            )
+        if not parts:
+            continue
+        diag_path = os.path.join(
+            args.out, f"latent_diag_{setting.replace('_r4legacy', '')}.json")
+        diag = ""
+        if os.path.exists(diag_path):
+            d = json.load(open(diag_path))
+            diag = (
+                f"  Latent probe: step-0 linear probe R²="
+                f"{d.get('probe_r2_first_score'):.2f} for first-grasp value,"
+                f" step displacement/spread="
+                f"{d.get('displacement_over_spread'):.2f} — "
+                + ("latents carry little linearly-decodable first-action"
+                   " signal; the wins above come from learned non-linear"
+                   " value structure." if (d.get("probe_r2_first_score") or 0)
+                   < 0.1 else "latents are linearly informative.")
+            )
+        concl.append(f"- `{setting}`: " + "; ".join(parts) + "." + diag)
+    if concl:
+        lines += ["", "Learned-policy conclusion (vs the random anchor):"] + concl
     extras = []
     for key, block in sorted(summary.items()):
         if key.startswith("policies_") and block.get("supervised_max"):
